@@ -1,0 +1,89 @@
+"""JaSMin attention-entropy regularization.
+
+``g_k(P) = x_(k) * (1 - x_(k) + x_(k+1))`` where ``x_(k)`` is the k-th
+largest entry of an attention row; the loss is ``log g_1`` (k=0, Eq. 8 of
+the paper) or ``log(g_1 / g_k)`` (k>0, Eq. 9), maxed over tokens, meaned
+over heads then batch. Parity targets:
+/root/reference/models/ode_transformer_gpt.py:419-456 and the functional
+duplicate /root/reference/models/utils.py:23-61.
+
+TPU notes: the reference sorts full rows; we use ``lax.top_k`` with
+``k+1`` elements — rows are probability vectors so only the top entries
+matter, and top-k avoids the O(N log N) sort lowering on the VPU. The
+per-evaluation trajectory variant is designed to run *inside* the solver
+scan (one scalar per evaluation) so the [B,H,N,N] maps never live past
+their step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _g_pair(p, k):
+    """Return (g_1, g_k) per row of ``p`` ([..., N] prob rows), k >= 1."""
+    n = p.shape[-1]
+    kk = min(k + 1, n)
+    top = jax.lax.top_k(p, kk)[0]                      # [..., kk] descending
+    x1 = top[..., 0]
+    x2 = top[..., 1] if n > 1 else jnp.zeros_like(x1)
+    g1 = x1 * (1.0 - x1 + x2)
+    if k <= 1:
+        return g1, g1
+    xk = top[..., k - 1]
+    xk1 = top[..., k] if k < n else jnp.zeros_like(xk)
+    gk = xk * (1.0 - xk + xk1)
+    return g1, gk
+
+
+def jasmin_map_loss(attn, k=0):
+    """JaSMin scalar for one attention map ``[B, H, N, N]``.
+
+    Rows are clamped to [1e-12, 1] and renormalized before scoring
+    (reference behavior), so slightly-off row sums are tolerated.
+    """
+    p = jnp.clip(attn.astype(jnp.float32), _EPS, 1.0)
+    p = p / (jnp.sum(p, axis=-1, keepdims=True) + _EPS)
+    g1, gk = _g_pair(p, max(k, 1))
+    if k == 0:
+        loss = jnp.log(g1 + _EPS)
+    else:
+        loss = jnp.log(g1 / (gk + _EPS) + _EPS)
+    # max over tokens (rows), mean over heads, mean over batch
+    return jnp.mean(jnp.max(loss, axis=-1))
+
+
+def jasmin_loss(attn_maps, k=0, reduction="mean"):
+    """JaSMin over a stack/list of maps; mean or sum over the maps.
+
+    ``attn_maps`` may be one map [B,H,N,N], a list of maps, or a stacked
+    array [E,B,H,N,N].
+    """
+    if isinstance(attn_maps, (list, tuple)):
+        losses = jnp.stack([jasmin_map_loss(a, k) for a in attn_maps])
+    elif attn_maps.ndim == 4:
+        losses = jasmin_map_loss(attn_maps, k)[None]
+    else:
+        losses = jax.vmap(lambda a: jasmin_map_loss(a, k))(attn_maps)
+    return jnp.mean(losses) if reduction == "mean" else jnp.sum(losses)
+
+
+def jasmin_trajectory_window(per_eval_losses, num_eval_steps):
+    """Combine per-evaluation JaSMin scalars the way the reference does.
+
+    The reference scores the last ``int(0.85 * num_eval_steps)`` entries of
+    the per-*evaluation* attention list (ode_transformer_gpt.py:615) — note
+    the window length is measured in grid points even though the list is
+    per evaluation (4x longer for rk4); we reproduce that exactly.
+
+    Args:
+      per_eval_losses: [num_evals] flat eval-ordered scalars.
+      num_eval_steps: the solver grid size T.
+    """
+    flat = per_eval_losses.reshape(-1)
+    window = int(0.85 * num_eval_steps)
+    window = max(1, min(window, flat.shape[0]))
+    return jnp.mean(flat[-window:])

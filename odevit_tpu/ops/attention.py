@@ -49,6 +49,7 @@ class SoftmaxSelfAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_bias: bool = False
     dtype: jnp.dtype | None = None
     spectral_init: bool = True
 
@@ -62,6 +63,9 @@ class SoftmaxSelfAttention(nn.Module):
         dtype = self.dtype or x.dtype
         qkv = jnp.dot(x.astype(dtype), w_qkv.astype(dtype),
                       preferred_element_type=jnp.float32)
+        if self.use_bias:
+            qkv = qkv + self.param("qkv_bias", nn.initializers.zeros,
+                                   (3 * self.dim,))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         head_dim = self.dim // self.num_heads
         q = _split_heads(q, self.num_heads) * (head_dim ** -0.5)
@@ -82,7 +86,11 @@ class SoftmaxSelfAttention(nn.Module):
                          v.astype(dtype), preferred_element_type=jnp.float32)
         out = _merge_heads(out).astype(dtype)
         out = jnp.dot(out, w_out.astype(dtype),
-                      preferred_element_type=jnp.float32).astype(dtype)
+                      preferred_element_type=jnp.float32)
+        if self.use_bias:
+            out = out + self.param("out_bias", nn.initializers.zeros,
+                                   (self.dim,))
+        out = out.astype(dtype)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(rate=self.proj_drop)(out, deterministic=False)
         return out, attn.astype(dtype)
