@@ -1,0 +1,77 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: data-parallel
+numerics match single-device, tensor-parallel compiles and runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from odevit_tpu.models.vit_ode import ViTODE
+from odevit_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                      param_shardings, replicated,
+                                      shard_pytree)
+from odevit_tpu.train.state import (all_trainable, create_train_state,
+                                    make_optimizer)
+from odevit_tpu.train.steps import make_free_train_step
+
+
+def setup(num_heads=4):
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=num_heads,
+               mlp_ratio=2.0, num_classes=5, emulate_depth=4,
+               time_interval=1.0, num_eval_steps=5, solver="euler",
+               register_tokens=2)
+    rng = np.random.default_rng(0)
+    batch = {"pixel_values": jnp.asarray(
+                 rng.standard_normal((16, 16, 16, 3)).astype(np.float32)),
+             "labels": jnp.asarray(rng.integers(0, 5, 16))}
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    return m, v["params"], batch
+
+
+def run_steps(m, params, batch, mesh=None, tp=False, n=3):
+    tx = make_optimizer(1e-3, weight_decay=5e-2, clip_norm=1.0,
+                        trainable_mask=all_trainable(params))
+    if mesh is not None:
+        pshard = param_shardings(params, mesh, tensor_parallel=tp)
+        params = shard_pytree(params, pshard)
+        batch = jax.device_put(batch, batch_sharding(mesh))
+    state = create_train_state(params, tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, donate=False)
+    losses = []
+    for _ in range(n):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    return losses, jax.tree_util.tree_map(np.asarray, state.params)
+
+
+def test_dp_matches_single_device():
+    m, params, batch = setup()
+    ref_losses, ref_params = run_steps(m, params, batch)
+    mesh = make_mesh(num_data=8, num_model=1)
+    dp_losses, dp_params = run_steps(m, params, batch, mesh=mesh)
+    np.testing.assert_allclose(dp_losses, ref_losses, rtol=2e-5)
+    flat_r = jax.tree_util.tree_leaves(ref_params)
+    flat_d = jax.tree_util.tree_leaves(dp_params)
+    for r, d in zip(flat_r, flat_d):
+        np.testing.assert_allclose(d, r, atol=1e-5, rtol=1e-4)
+
+
+def test_tp_mesh_compiles_and_matches():
+    m, params, batch = setup(num_heads=4)
+    ref_losses, _ = run_steps(m, params, batch)
+    mesh = make_mesh(num_data=2, num_model=4)
+    tp_losses, _ = run_steps(m, params, batch, mesh=mesh, tp=True)
+    np.testing.assert_allclose(tp_losses, ref_losses, rtol=5e-4)
+
+
+def test_param_shardings_specs():
+    m, params, _ = setup()
+    mesh = make_mesh(num_data=2, num_model=4)
+    shardings = param_shardings(params, mesh, tensor_parallel=True)
+    assert shardings["vf"]["attn"]["qkv_kernel"].spec == P(None, "model")
+    assert shardings["vf"]["mlp"]["fc2_kernel"].spec == P("model", None)
+    assert shardings["patch_embed"]["pos_embed"].spec == P()
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8

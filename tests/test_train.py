@@ -1,0 +1,186 @@
+"""Training-engine tests: overfit smoke, freeze masks, curriculum swap,
+distillation step, eval step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from odevit_tpu.models.vit_ode import ViTODE
+from odevit_tpu.teacher.vit import ViTTeacher
+from odevit_tpu.teacher.convert import (graft_teacher_into_student,
+                                        GRAFT_FROZEN_PATHS)
+from odevit_tpu.train.state import (TrainState, all_trainable,
+                                    create_train_state, freeze_paths,
+                                    make_optimizer)
+from odevit_tpu.train.steps import (make_distill_train_step, make_eval_step,
+                                    make_free_train_step,
+                                    make_one_sample_loss_step)
+from odevit_tpu.train.schedules import cosine_hard_restarts_with_warmup
+
+
+def tiny_student(**kw):
+    d = dict(img_size=16, patch_size=4, embed_dim=24, num_heads=2,
+             mlp_ratio=2.0, num_classes=5, emulate_depth=4,
+             time_interval=1.0, num_eval_steps=6, solver="euler",
+             register_tokens=2, pos_embed_register_tokens=False)
+    d.update(kw)
+    return ViTODE(**d)
+
+
+def fixed_batch(key=0, b=16, img=16, classes=5):
+    rng = np.random.default_rng(key)
+    return {"pixel_values": jnp.asarray(
+                rng.standard_normal((b, img, img, 3)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, classes, b))}
+
+
+def test_free_train_overfits_one_batch():
+    """The reference's de-facto correctness check: overfit a fixed batch
+    (main_classification_ode_distillation_one_sample.py harness)."""
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    sched = cosine_hard_restarts_with_warmup(3e-3, 5, 400, 1)
+    tx = make_optimizer(sched, weight_decay=5e-2, clip_norm=1.0,
+                        trainable_mask=all_trainable(v["params"]))
+    state = create_train_state(v["params"], tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, lr_schedule=sched,
+                                donate=False)
+
+    rng = jax.random.PRNGKey(1)
+    first_loss = None
+    for i in range(60):
+        state, metrics = step(state, batch, rng)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    final_acc = float(metrics["acc"])
+    assert final_loss < first_loss * 0.8, (first_loss, final_loss)
+    assert final_acc >= 0.9, final_acc
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert float(metrics["lr"]) > 0
+
+
+def test_frozen_params_do_not_move():
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    mask = freeze_paths(v["params"], GRAFT_FROZEN_PATHS)
+    tx = make_optimizer(1e-2, weight_decay=5e-2, clip_norm=1.0,
+                        trainable_mask=mask)
+    state = create_train_state(v["params"], tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, donate=False)
+    s0 = jax.tree_util.tree_map(np.asarray, state.params)
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    s1 = jax.tree_util.tree_map(np.asarray, state.params)
+    np.testing.assert_array_equal(s1["patch_embed"]["proj_kernel"],
+                                  s0["patch_embed"]["proj_kernel"])
+    np.testing.assert_array_equal(s1["head"]["kernel"], s0["head"]["kernel"])
+    assert not np.array_equal(s1["patch_embed"]["pos_embed"],
+                              s0["patch_embed"]["pos_embed"])
+    assert not np.array_equal(s1["vf"]["mlp"]["fc1_kernel"],
+                              s0["vf"]["mlp"]["fc1_kernel"])
+
+
+def test_curriculum_unfreeze_reuses_opt_state():
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    mask_frozen = freeze_paths(v["params"], GRAFT_FROZEN_PATHS)
+    mask_open = freeze_paths(v["params"], GRAFT_FROZEN_PATHS[:2])
+    tx0 = make_optimizer(1e-3, trainable_mask=mask_frozen)
+    tx1 = make_optimizer(1e-3, trainable_mask=mask_open)
+    state = create_train_state(v["params"], tx0)
+    step0 = make_free_train_step(m, tx0, jasmin_k=2, donate=False)
+    step1 = make_free_train_step(m, tx1, jasmin_k=2, donate=False)
+    state, _ = step0(state, batch, jax.random.PRNGKey(1))
+    head0 = np.asarray(state.params["head"]["kernel"])
+    state, _ = step1(state, batch, jax.random.PRNGKey(1))  # same opt_state
+    head1 = np.asarray(state.params["head"]["kernel"])
+    assert not np.array_equal(head0, head1)  # head now moves
+
+
+@pytest.fixture(scope="module")
+def distill_setup():
+    student = tiny_student(num_eval_steps=8)
+    teacher = ViTTeacher(image_size=16, patch_size=4, hidden_size=24,
+                         num_layers=12, num_heads=2, mlp_dim=48,
+                         num_classes=5)
+    batch = fixed_batch()
+    sv = student.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    tv = teacher.init(jax.random.PRNGKey(1), batch["pixel_values"])
+    grafted = graft_teacher_into_student(
+        sv["params"],
+        {"patch_kernel": tv["params"]["patch_kernel"],
+         "cls_token": tv["params"]["cls_token"],
+         "position_embeddings": tv["params"]["position_embeddings"],
+         "classifier": tv["params"]["classifier"]})
+    return student, teacher, grafted, tv["params"], batch
+
+
+def test_distill_step_runs_and_freezes(distill_setup):
+    student, teacher, sp, tp, batch = distill_setup
+    mask = freeze_paths(sp, GRAFT_FROZEN_PATHS)
+    tx = make_optimizer(1e-3, trainable_mask=mask)
+    state = create_train_state(sp, tx)
+    step = make_distill_train_step(
+        student, teacher, tx, lambda_param=0.5, jasmin_k=2,
+        mse_full_path=True, use_distillation=True, donate=False)
+
+    s0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, metrics = step(state, tp, batch, jax.random.PRNGKey(2),
+                          supervise=False)
+    for key in ("loss", "mse_loss", "kl_loss", "jasmin_loss",
+                "supervision_loss", "acc", "mse_loss_t@0", "mse_loss_t@11"):
+        assert key in metrics, key
+        assert np.isfinite(float(metrics[key])), key
+    assert float(metrics["nonfinite"]) == 0.0
+    assert float(metrics["kl_nonfinite"]) == 0.0
+    s1 = jax.tree_util.tree_map(np.asarray, state.params)
+    np.testing.assert_array_equal(s1["head"]["kernel"], s0["head"]["kernel"])
+    # supervised variant (second static specialization)
+    state, m2 = step(state, tp, batch, jax.random.PRNGKey(3), supervise=True)
+    assert float(m2["loss"]) > 0
+
+
+def test_one_sample_loss_step(distill_setup):
+    student, teacher, sp, tp, batch = distill_setup
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(sp))
+    state = create_train_state(sp, tx)
+    step = make_one_sample_loss_step(
+        student, teacher, tx, lambda_param=0.6, mse_full_path=False,
+        use_mse_loss=True, use_distillation=False, use_supervision=True,
+        donate=False)
+    state, metrics = step(state, tp, batch, jax.random.PRNGKey(0))
+    for key in ("loss", "mse_loss", "student_target_loss", "jasmin_loss"):
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_eval_step(distill_setup):
+    student, _, sp, _, batch = distill_setup
+    ev = make_eval_step(student)
+    metrics = ev(sp, batch)
+    for key in ("loss", "acc@1", "acc@3", "acc@5"):
+        assert np.isfinite(float(metrics[key])), key
+    assert 0.0 <= float(metrics["acc@1"]) <= float(metrics["acc@3"]) \
+        <= float(metrics["acc@5"]) <= 1.0
+
+
+def test_gradient_accumulation():
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(v["params"]),
+                        accumulate_steps=4)
+    state = create_train_state(v["params"], tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, donate=False)
+    p0 = np.asarray(state.params["head"]["kernel"])
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(
+            np.asarray(state.params["head"]["kernel"]), p0,
+            err_msg=f"params moved during accumulation at micro-step {i}")
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(state.params["head"]["kernel"]), p0)
