@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: ODE-ViT CIFAR-100 forward throughput on one chip.
+
+Measures the BASELINE.json headline metric — images/sec/chip for the
+CIFAR-resolution ODE-ViT at NFE = 4*depth = 48 function evaluations
+(rk4 over a 13-point grid), bf16 compute, device-side normalization
+included (uint8 in, logits out). Model = the free-training CIFAR
+architecture (embed 192, heads 3, patch 4, 32x32; README.md:57 row) with
+100 classes. Target: >= 20_000 img/s/chip (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from odevit_tpu.models.vit_ode import ViTODE
+    from odevit_tpu.data.pipeline import make_preprocess
+    from odevit_tpu.utils.init_utils import init_on_cpu
+    from odevit_tpu.core.integrators import nfe
+
+    model = ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
+                   mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
+                   time_interval=1.0, num_eval_steps=13, solver="rk4",
+                   register_tokens=4, pos_embed_register_tokens=False,
+                   remat=False, dtype=jnp.bfloat16)
+    assert nfe(model.solver, model.num_eval_steps) == 48
+
+    preprocess = make_preprocess(image_size=None, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    def forward(params, images_u8):
+        return model.apply({"params": params}, preprocess(images_u8))["logits"]
+
+    fwd = jax.jit(forward)
+
+    batch = 2048
+    images = jax.device_put(rng.integers(
+        0, 256, (batch, 32, 32, 3), dtype=np.uint8))
+    params = init_on_cpu(model, jax.random.PRNGKey(0), images[:2]
+                         .astype(jnp.uint8))["params"]
+
+    # warmup / compile
+    jax.block_until_ready(fwd(params, images))
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    per_step_ms = dt / iters / (model.num_eval_steps - 1) * 1e3
+
+    print(json.dumps({
+        "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 20000.0, 4),
+        "details": {
+            "batch": batch,
+            "per_rk_step_latency_ms": round(per_step_ms, 4),
+            "nfe": 48,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Free ODE-ViT training entry (parity:
+/root/reference/main_classification_ode.py).
+
+CE(label smoothing 0.05, from the model) + JaSMin, AdamW(1e-4, wd 5e-2),
+cosine-hard-restarts with 10% warmup and epochs//100 cycles, frozen DINO
+CLS-token graft when teacher weights are available, per-epoch eval with
+best-accuracy checkpointing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from odevit_tpu.ckpt.checkpoint import CheckpointManager
+from odevit_tpu.cli import common
+from odevit_tpu.data.pipeline import make_preprocess
+from odevit_tpu.train.loops import evaluate, train_epoch
+from odevit_tpu.train.schedules import cosine_hard_restarts_with_warmup
+from odevit_tpu.train.state import (create_train_state, freeze_paths,
+                                    all_trainable, make_optimizer)
+from odevit_tpu.train.steps import make_eval_step, make_free_train_step
+from odevit_tpu.utils.init_utils import init_on_cpu
+from odevit_tpu.models.vit_ode import analytic_bound_from_variables
+
+
+def main(cfg):
+    logger = common.make_logger(cfg)
+    mesh, bshard = common.setup_mesh_and_sharding()
+    train_data, val_data, num_classes = common.build_datasets(cfg)
+    train_loader, val_loader = common.build_loaders(cfg, train_data,
+                                                    val_data, bshard)
+
+    model_type = cfg.modeling.get("type", "vit")
+    inputs = dict(cfg.modeling.inputs)
+    inputs.setdefault("num_classes", num_classes)
+    model = common.build_student(inputs, model_type)
+    preprocess = make_preprocess(image_size=model.img_size)
+
+    sample = next(iter(train_loader))
+    variables = init_on_cpu(model, jax.random.PRNGKey(0),
+                            preprocess(jnp.asarray(
+                                sample["pixel_values"][:2])))
+    params = variables["params"]
+
+    frozen = []
+    teacher, teacher_params = common.load_teacher(
+        str(cfg.modeling.get("base", "")), num_classes)
+    if teacher_params is not None and model_type == "vit" and \
+            teacher_params["cls_token"].shape[-1] == model.embed_dim:
+        # graft + freeze the DINO cls token (main_classification_ode.py:96-97)
+        params = dict(params)
+        pe = dict(params["patch_embed"])
+        pe["cls_token"] = teacher_params["cls_token"]
+        params["patch_embed"] = pe
+        frozen.append(("patch_embed", "cls_token"))
+        print("[graft] frozen DINO cls token")
+
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"Training Model with a total parameters of {n_params/1e6:.3f} "
+          "Millions")
+    if logger:
+        logger.log({"model_parameters": n_params})
+
+    epochs = int(cfg.setup.dict.epochs)
+    steps_per_epoch = len(train_loader)
+    total_steps = epochs * steps_per_epoch
+    sched = cosine_hard_restarts_with_warmup(
+        1e-4, int(0.1 * total_steps), total_steps,
+        max(1, epochs // 100))
+    accum = max(1, int(cfg.setup.dict.get("accumulation_steps", 1)))
+    mask = freeze_paths(params, frozen) if frozen else all_trainable(params)
+    tx = make_optimizer(sched, weight_decay=5e-2, clip_norm=1.0,
+                        trainable_mask=mask, accumulate_steps=accum)
+    state = create_train_state(params, tx)
+
+    ckpt = CheckpointManager(cfg.get("checkpoint_dir", "checkpoints"),
+                             str(cfg.modeling.get("checkpoint_name",
+                                                  "vit_ode")))
+    if cfg.get("infer_from_checkpoint", False) and ckpt.exists():
+        state, meta = ckpt.restore(state)
+        print(f"[ckpt] restored step {meta.get('step')} "
+              f"best {meta.get('best_metric')}")
+
+    jasmin_k = int(cfg.setup.dict.get("jasmin",
+                                      cfg.setup.dict.get("jasmin_k", 10)))
+    step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
+                                   lr_schedule=sched,
+                                   preprocess_fn=preprocess)
+    eval_step = make_eval_step(model, preprocess_fn=preprocess)
+
+    def bounds_fn(state):
+        return {"second_derivative": analytic_bound_from_variables(
+            {"params": state.params}, embed_dim=model.embed_dim,
+            num_eval_steps=model.num_eval_steps,
+            l2_attention=model.l2_attention, R=jasmin_k)}
+
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    log_every = int(cfg.setup.dict.get("log_every", 100))
+    bounds = bounds_fn if model_type == "vit" else None
+    for epoch in range(1, epochs):
+        state, train_metrics = train_epoch(
+            train_loader, state, step_fn, rng, epoch=epoch, logger=logger,
+            log_every=log_every, bounds_fn=bounds)
+        print(f"Loss Epoch: {epoch} Value: {train_metrics['loss']:.4f} "
+              f"({train_metrics['images_per_sec']:.0f} img/s)")
+        val = evaluate(val_loader, state.params, eval_step, logger=logger)
+        if ckpt.save(state, metric=val["acc@1"],
+                     lr=float(sched(state.step))):
+            print(f"Model Updated: val acc {val['acc@1']:.4f}")
+    print("End of training")
+    if logger:
+        logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main(common.load_config(common.parse_args()))

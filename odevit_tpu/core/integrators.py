@@ -55,17 +55,19 @@ def nfe(method: str, num_grid_points: int) -> int:
 
 
 def _axpy(y, dt, k, alpha=1.0):
-    """y + dt * alpha * k over a pytree."""
-    return jax.tree_util.tree_map(lambda a, b: a + dt * alpha * b, y, k)
+    """y + dt * alpha * k over a pytree, preserving y's dtype (an f32 time
+    grid must not promote a bf16 state — the scan carry dtype is fixed)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: (a + dt * alpha * b).astype(a.dtype), y, k)
 
 
 def _lc(y, dt, terms):
-    """y + dt * sum(c_i * k_i) over a pytree."""
+    """y + dt * sum(c_i * k_i) over a pytree, preserving y's dtype."""
     def add(a, *ks):
         acc = a
         for c, k in zip([t[0] for t in terms], ks):
             acc = acc + dt * c * k
-        return acc
+        return acc.astype(a.dtype)
     return jax.tree_util.tree_map(add, y, *[t[1] for t in terms])
 
 

@@ -18,8 +18,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _top_singular_value(mat: jnp.ndarray) -> jnp.ndarray:
+import numpy as np
+
+
+def _top_singular_value(mat) -> jnp.ndarray:
     # For init-time use only; runs once per parameter at model.init.
+    # Eager init gives concrete values: use host numpy (a per-shape XLA
+    # SVD compile on TPU costs seconds each; numpy is instant at these
+    # sizes). Under tracing (e.g. jit'd init) fall back to jnp.
+    if not isinstance(mat, jax.core.Tracer):
+        return np.linalg.svd(np.asarray(mat, np.float32),
+                             compute_uv=False)[0]
     s = jnp.linalg.svd(mat.astype(jnp.float32), compute_uv=False)
     return s[0]
 

@@ -97,15 +97,22 @@ def graft_teacher_into_student(student_params, teacher_params):
 
     sp = flax.core.unfreeze(student_params) if hasattr(
         flax.core, "unfreeze") else dict(student_params)
+
+    # Copy (never alias) the teacher buffers: the train step donates the
+    # student state while the teacher params stay a live argument — shared
+    # buffers would trip XLA's donation check (`f(donate(a), a)`).
+    def cp(x):
+        return jnp.array(x)
+
     pe = dict(sp["patch_embed"])
-    pe["proj_kernel"] = teacher_params["patch_kernel"]
-    pe["cls_token"] = teacher_params["cls_token"]
-    pe["pos_embed"] = teacher_params["position_embeddings"]
+    pe["proj_kernel"] = cp(teacher_params["patch_kernel"])
+    pe["cls_token"] = cp(teacher_params["cls_token"])
+    pe["pos_embed"] = cp(teacher_params["position_embeddings"])
     sp = dict(sp)
     sp["patch_embed"] = pe
     if "classifier" in teacher_params:
-        sp["head"] = {"kernel": teacher_params["classifier"]["kernel"],
-                      "bias": teacher_params["classifier"]["bias"]}
+        sp["head"] = {"kernel": cp(teacher_params["classifier"]["kernel"]),
+                      "bias": cp(teacher_params["classifier"]["bias"])}
     return sp
 
 

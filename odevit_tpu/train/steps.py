@@ -45,15 +45,18 @@ def _accuracy(logits, labels):
 def make_free_train_step(model, tx, *, jasmin_k: int = 10,
                          use_jasmin: bool = True,
                          lr_schedule: Optional[Callable] = None,
+                         preprocess_fn: Optional[Callable] = None,
                          donate: bool = True):
     """Free ODE-ViT training: CE(+smoothing) + JaSMin."""
 
     def step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        pixels = (preprocess_fn(batch["pixel_values"]) if preprocess_fn
+                  else batch["pixel_values"])
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, batch["pixel_values"], batch["labels"],
+                {"params": params}, pixels, batch["labels"],
                 output_attentions=use_jasmin, jasmin_k=jasmin_k,
                 deterministic=False, rngs={"dropout": rng})
             loss = out["loss"]
@@ -88,6 +91,7 @@ def make_distill_train_step(
     use_distillation: bool = True,
     temperature: float = 30.0,
     lr_schedule: Optional[Callable] = None,
+    preprocess_fn: Optional[Callable] = None,
     donate: bool = True,
 ):
     """Teacher-student trajectory distillation step.
@@ -99,6 +103,8 @@ def make_distill_train_step(
     def step(state, teacher_params, batch, rng, supervise: bool):
         rng = jax.random.fold_in(rng, state.step)
         pixels, labels = batch["pixel_values"], batch["labels"]
+        if preprocess_fn is not None:
+            pixels = preprocess_fn(pixels)
 
         t_out = teacher.apply({"params": teacher_params}, pixels)
         t_states = jax.lax.stop_gradient(t_out["hidden_states"][1:])
@@ -165,6 +171,7 @@ def make_one_sample_loss_step(
     use_mse_loss: bool = True,
     use_distillation: bool = False,
     use_supervision: bool = True,
+    preprocess_fn: Optional[Callable] = None,
     donate: bool = True,
 ):
     """The alternate combined loss used by the one-sample overfit harness
@@ -174,6 +181,8 @@ def make_one_sample_loss_step(
     def step(state, teacher_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         pixels, labels = batch["pixel_values"], batch["labels"]
+        if preprocess_fn is not None:
+            pixels = preprocess_fn(pixels)
         t_out = teacher.apply({"params": teacher_params}, pixels)
         t_hidden = jax.lax.stop_gradient(t_out["hidden_states"])
 
@@ -225,11 +234,14 @@ def make_one_sample_loss_step(
 
 
 def make_eval_step(model, *, lambda_param: Optional[float] = None,
+                   preprocess_fn: Optional[Callable] = None,
                    model_kwargs: Optional[Dict[str, Any]] = None):
     model_kwargs = dict(model_kwargs or {})
 
     def step(params, batch):
-        out = model.apply({"params": params}, batch["pixel_values"],
+        pixels = (preprocess_fn(batch["pixel_values"]) if preprocess_fn
+                  else batch["pixel_values"])
+        out = model.apply({"params": params}, pixels,
                           batch["labels"], **model_kwargs)
         logits, labels = out["logits"], batch["labels"]
         metrics = {"loss": out["loss"], **topk_accuracies(logits, labels)}
