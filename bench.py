@@ -19,10 +19,12 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
 
     from odevit_tpu.models.vit_ode import ViTODE
+    from odevit_tpu.models.fast_forward import fast_forward
     from odevit_tpu.data.pipeline import make_preprocess
     from odevit_tpu.utils.init_utils import init_on_cpu
     from odevit_tpu.core.integrators import nfe
@@ -36,9 +38,11 @@ def main():
 
     preprocess = make_preprocess(image_size=None, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
+    use_pallas = os.environ.get("ODEVIT_BENCH_PALLAS", "1") != "0"
 
     def forward(params, images_u8):
-        return model.apply({"params": params}, preprocess(images_u8))["logits"]
+        return fast_forward(model, params, preprocess(images_u8),
+                            block_b=8, use_pallas=use_pallas)["logits"]
 
     fwd = jax.jit(forward)
 

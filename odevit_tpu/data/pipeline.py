@@ -56,7 +56,8 @@ class ArrayLoader:
 
     def __init__(self, data, labels=None, *, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0, sharding=None, prefetch: int = 2):
+                 seed: int = 0, sharding=None, prefetch: int = 2,
+                 augment: bool = False, augment_pad: int = 4):
         self._folder = None
         if labels is None:          # ImageFolder-like object
             self._folder = data
@@ -72,6 +73,8 @@ class ArrayLoader:
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
+        self.augment = augment
+        self.augment_pad = augment_pad
         self.epoch = 0
 
     def __len__(self):
@@ -90,7 +93,11 @@ class ArrayLoader:
         if self._folder is not None:
             imgs = self._folder.gather(idx)
         else:
-            imgs = self.images[idx]
+            # native threaded gather (+ optional pad-crop/flip augmentation)
+            from odevit_tpu.data import native
+            imgs = native.assemble_batch(
+                self.images, idx, augment=self.augment,
+                pad=self.augment_pad, seed=self.seed * 100003 + self.epoch)
         return {"pixel_values": imgs, "labels": self.labels[idx]}
 
     def _device_put(self, batch):

@@ -1,0 +1,77 @@
+"""Fast inference path: ViTODE forward through the fused Pallas kernel.
+
+The serving/bench engine. Differences from the flax forward:
+  * the token axis is padded to the 128-lane boundary ONCE before
+    integration and sliced once after — padded tokens are masked out of
+    attention inside the kernel and evolve independently (provably
+    harmless: attention rows are per-query, CenterNorm/MLP per-token);
+  * the whole trajectory runs ``return_states=False`` (no [T,...] history
+    in HBM) with the fused kernel as the vector field;
+  * deterministic only (no dropout) and no attention-map outputs — the
+    diagnostic surface stays on the flax path.
+
+Works for the softmax-attention ParallelVectorField without time
+conditioning; falls back to the XLA twin when ``use_pallas=False`` (same
+padded layout, useful for A/B numerics).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from odevit_tpu.core.integrators import odeint
+from odevit_tpu.kernels.vector_field import LANE, fused_vf_from_params
+from odevit_tpu.models.vector_field import drift_scaler
+from odevit_tpu.ops.patch_embed import PatchEmbed
+
+
+def _patch_embed_module(model):
+    return PatchEmbed(
+        img_size=model.img_size, patch_size=model.patch_size,
+        in_chans=model.in_chans, embed_dim=model.embed_dim,
+        add_distillation_token=model.add_distillation_token,
+        register_tokens=model.register_tokens,
+        pos_embed_register_tokens=model.pos_embed_register_tokens,
+        dtype=model.dtype)
+
+
+def fast_forward(model, params, images, *, block_b: int = 8,
+                 use_pallas: bool = True, t_grid=None):
+    """logits = head(odeint(fused_vf, patch_embed(images)))[CLS].
+
+    Args:
+      model: a ViTODE instance (config carrier).
+      params: its params pytree.
+      images: [B, H, W, C] preprocessed floats.
+    Returns {"logits": [B, num_classes]}.
+    """
+    assert not model.l2_attention, "fused kernel covers softmax attention"
+    assert not model.time_conditioning, "autonomous field only"
+
+    pe = _patch_embed_module(model)
+    tokens = pe.apply({"params": params["patch_embed"]}, images)
+    b, n, d = tokens.shape
+
+    n_pad = -(-n // LANE) * LANE
+    if n_pad != n:
+        tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    scaler = drift_scaler(model.emulate_depth, model.time_interval)
+
+    def f(t, y):
+        return fused_vf_from_params(
+            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+            block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+    ts = model.make_time_grid() if t_grid is None else jnp.asarray(t_grid)
+    y_final, _ = odeint(f, tokens, ts, method=model.solver,
+                        return_states=False)
+
+    cls_final = y_final[:, 0].astype(jnp.float32)
+    logits = cls_final @ params["head"]["kernel"] + params["head"]["bias"]
+    out = {"logits": logits}
+    if model.add_distillation_token and "dist_head" in params:
+        out["logits_dist"] = (y_final[:, 1].astype(jnp.float32)
+                              @ params["dist_head"]["kernel"]
+                              + params["dist_head"]["bias"])
+    return out
