@@ -1,0 +1,48 @@
+"""Trajectory-fidelity harness: our lax.scan solver + model vs an
+independent torch oracle (see tests/test_trajectory_fidelity.py for the
+oracle). Reports the max relative error over the full [T,B,N,D]
+trajectory — the BASELINE.md ">= 1e-4 fidelity" metric.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def trajectory_fidelity(solver: str = "rk4", num_eval_steps: int = 13,
+                        embed_dim: int = 48, num_heads: int = 4,
+                        batch: int = 2, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from odevit_tpu.models.vit_ode import ViTODE
+    from tests.test_trajectory_fidelity import TorchOracle
+
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=embed_dim,
+               num_heads=num_heads, mlp_ratio=2.0, num_classes=7,
+               emulate_depth=12.0, time_interval=1.0,
+               num_eval_steps=num_eval_steps, solver=solver,
+               register_tokens=3, pos_embed_register_tokens=False)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, 16, 16, 3)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(seed), jnp.asarray(x))
+    ours = np.asarray(
+        m.apply(v, jnp.asarray(x), output_hidden_states=True)["states"])
+
+    oracle = TorchOracle(v["params"], num_heads=num_heads,
+                         emulate_depth=12.0, time_interval=1.0)
+    with torch.no_grad():
+        want = oracle.integrate(
+            oracle.embed(torch.tensor(x)),
+            np.linspace(0.0, 1.0, num_eval_steps), solver).numpy()
+
+    rel = float(np.abs(ours - want).max() / np.abs(want).max())
+    return {"solver": solver, "num_eval_steps": num_eval_steps,
+            "relative_error": rel, "passes_1e-4": rel < 1e-4}
+
+
+if __name__ == "__main__":
+    import json
+    for solver in ("euler", "rk4"):
+        print(json.dumps(trajectory_fidelity(solver=solver)))
