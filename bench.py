@@ -38,33 +38,44 @@ def main():
 
     preprocess = make_preprocess(image_size=None, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    use_pallas = os.environ.get("ODEVIT_BENCH_PALLAS", "1") != "0"
 
-    def forward(params, images_u8):
-        return fast_forward(model, params, preprocess(images_u8),
-                            block_b=8, use_pallas=use_pallas)["logits"]
+    def make_fwd(use_pallas):
+        def forward(params, images_u8):
+            return fast_forward(model, params, preprocess(images_u8),
+                                block_b=8, use_pallas=use_pallas)["logits"]
+        return jax.jit(forward)
 
-    fwd = jax.jit(forward)
-
-    batch = 2048
-    images = jax.device_put(rng.integers(
-        0, 256, (batch, 32, 32, 3), dtype=np.uint8))
-    params = init_on_cpu(model, jax.random.PRNGKey(0), images[:2]
+    big = jax.device_put(rng.integers(
+        0, 256, (2048, 32, 32, 3), dtype=np.uint8))
+    params = init_on_cpu(model, jax.random.PRNGKey(0), big[:2]
                          .astype(jnp.uint8))["params"]
 
-    # warmup / compile
-    jax.block_until_ready(fwd(params, images))
+    # The best (batch, path) combo shifts with compiler/runtime versions;
+    # sweep a small grid and report the winner. Set ODEVIT_BENCH_PALLAS=0
+    # to restrict to the XLA path (e.g. cold Pallas compile caches).
+    paths = {"xla": make_fwd(False)}
+    if os.environ.get("ODEVIT_BENCH_PALLAS", "1") != "0":
+        paths["pallas"] = make_fwd(True)
 
+    best = None
     iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    for batch in (1024, 2048):
+        images = big[:batch]
+        for name, fwd in paths.items():
+            jax.block_until_ready(fwd(params, images))   # compile/warmup
+            t0 = time.perf_counter()
+            # keep and block on EVERY output: under the tunneled runtime,
+            # blocking only the last result has been observed to return
+            # before earlier executions complete (measured 47M img/s).
+            outs = [fwd(params, images) for _ in range(iters)]
+            jax.block_until_ready(outs)
+            dt = time.perf_counter() - t0
+            ips = batch * iters / dt
+            if best is None or ips > best[0]:
+                best = (ips, batch, name, dt / iters)
 
-    ips = batch * iters / dt
-    per_step_ms = dt / iters / (model.num_eval_steps - 1) * 1e3
-
+    ips, batch, path, step_s = best
+    per_step_ms = step_s / (model.num_eval_steps - 1) * 1e3
     print(json.dumps({
         "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
         "value": round(ips, 1),
@@ -72,6 +83,7 @@ def main():
         "vs_baseline": round(ips / 20000.0, 4),
         "details": {
             "batch": batch,
+            "path": path,
             "per_rk_step_latency_ms": round(per_step_ms, 4),
             "nfe": 48,
             "device": str(jax.devices()[0]),

@@ -25,10 +25,15 @@ def _abs(path: str) -> str:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, name: str):
+    def __init__(self, directory: str, name: str, use_async: bool = True):
         self.dir = _abs(os.path.join(directory, name))
         os.makedirs(self.dir, exist_ok=True)
+        # async by default: the save overlaps the next training epoch
+        # (StandardCheckpointer is already an AsyncCheckpointer in orbax;
+        # wait_until_finished() in save() makes the best-metric gating
+        # race-free; pass use_async=False for strict sync semantics)
         self._ckptr = ocp.StandardCheckpointer()
+        self._async = use_async
 
     @property
     def meta_path(self):
@@ -43,7 +48,8 @@ class CheckpointManager:
             return False
         path = os.path.join(self.dir, "state")
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        if not self._async:
+            self._ckptr.wait_until_finished()
         with open(self.meta_path, "w") as f:
             json.dump({"best_metric": float(metric), "lr": float(lr),
                        "step": int(jax.device_get(state.step)),
@@ -56,9 +62,13 @@ class CheckpointManager:
                 return float(json.load(f)["best_metric"])
         return default
 
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
     def restore(self, target_state):
         """Restore into the structure of ``target_state`` (shapes/dtypes
         must match; shardings follow the target)."""
+        self.wait()
         path = os.path.join(self.dir, "state")
         restored = self._ckptr.restore(path, target_state)
         meta = {}

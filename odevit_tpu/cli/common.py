@@ -36,8 +36,13 @@ def parse_args(argv=None):
 
 def load_config(args) -> ConfigNode:
     with initialize(version_base="1.3.2", config_path=args.config_path):
-        return compose(config_name=args.config_file,
-                       overrides=args.override)
+        cfg = compose(config_name=args.config_file,
+                      overrides=args.override)
+    # TPU-native replacement for the reference's manual NaN guards
+    # (loss_trainer.py:360-362): flip on JAX's NaN checker from config.
+    if cfg.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    return cfg
 
 
 def make_logger(cfg) -> Optional[MetricLogger]:

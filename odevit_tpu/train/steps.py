@@ -235,14 +235,26 @@ def make_one_sample_loss_step(
 
 def make_eval_step(model, *, lambda_param: Optional[float] = None,
                    preprocess_fn: Optional[Callable] = None,
+                   use_fast_path: bool = False,
                    model_kwargs: Optional[Dict[str, Any]] = None):
+    """Eval metrics (top-1/3/5, dist/mixed acc, CE). ``use_fast_path``
+    routes the forward through the fused-Pallas inference engine (no
+    diagnostics needed for eval) when the model is compatible."""
     model_kwargs = dict(model_kwargs or {})
+    fast = (use_fast_path and not getattr(model, "l2_attention", False)
+            and not getattr(model, "time_conditioning", False))
 
     def step(params, batch):
         pixels = (preprocess_fn(batch["pixel_values"]) if preprocess_fn
                   else batch["pixel_values"])
-        out = model.apply({"params": params}, pixels,
-                          batch["labels"], **model_kwargs)
+        if fast:
+            from odevit_tpu.models.fast_forward import fast_forward
+            out = fast_forward(model, params, pixels)
+            out["loss"] = cross_entropy(out["logits"], batch["labels"],
+                                        label_smoothing=0.05)
+        else:
+            out = model.apply({"params": params}, pixels,
+                              batch["labels"], **model_kwargs)
         logits, labels = out["logits"], batch["labels"]
         metrics = {"loss": out["loss"], **topk_accuracies(logits, labels)}
         if "logits_dist" in out:
