@@ -42,7 +42,7 @@ def main():
     def make_fwd(use_pallas):
         def forward(params, images_u8):
             return fast_forward(model, params, preprocess(images_u8),
-                                block_b=8, use_pallas=use_pallas)["logits"]
+                                block_b=16, use_pallas=use_pallas)["logits"]
         return jax.jit(forward)
 
     big = jax.device_put(rng.integers(

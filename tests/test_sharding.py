@@ -75,3 +75,16 @@ def test_param_shardings_specs():
 
 def test_eight_devices_present():
     assert len(jax.devices()) == 8
+
+
+def test_multihost_helpers_single_process():
+    from odevit_tpu.parallel.multihost import (initialize_distributed,
+                                               make_multislice_mesh,
+                                               process_local_batch_slice)
+    initialize_distributed()          # no-op single process
+    mesh = make_multislice_mesh(num_model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.shape["dcn"] == 1 and mesh.shape["model"] == 2
+    assert mesh.shape["data"] == 4
+    s = process_local_batch_slice(64)
+    assert (s.stop - s.start) == 64
