@@ -29,17 +29,25 @@ def main():
     from odevit_tpu.utils.init_utils import init_on_cpu
     from odevit_tpu.core.integrators import nfe
 
-    model = ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
-                   mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
-                   time_interval=1.0, num_eval_steps=13, solver="rk4",
-                   register_tokens=4, pos_embed_register_tokens=False,
-                   remat=False, dtype=jnp.bfloat16)
-    assert nfe(model.solver, model.num_eval_steps) == 48
+    def make_model(solver, steps):
+        return ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
+                      mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
+                      time_interval=1.0, num_eval_steps=steps, solver=solver,
+                      register_tokens=4, pos_embed_register_tokens=False,
+                      remat=False, dtype=jnp.bfloat16)
+
+    # NFE = 48 either way: rk4 over 13 grid points or euler over 49 (the
+    # reference's CIFAR configs use euler; both are benched, best wins)
+    models = {"rk4x13": make_model("rk4", 13),
+              "eulerx49": make_model("euler", 49)}
+    for m in models.values():
+        assert nfe(m.solver, m.num_eval_steps) == 48
+    model = models["rk4x13"]
 
     preprocess = make_preprocess(image_size=None, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
-    def make_fwd(use_pallas):
+    def make_fwd(model, use_pallas):
         def forward(params, images_u8):
             return fast_forward(model, params, preprocess(images_u8),
                                 block_b=16, use_pallas=use_pallas)["logits"]
@@ -53,9 +61,10 @@ def main():
     # The best (batch, path) combo shifts with compiler/runtime versions;
     # sweep a small grid and report the winner. Set ODEVIT_BENCH_PALLAS=0
     # to restrict to the XLA path (e.g. cold Pallas compile caches).
-    paths = {"xla": make_fwd(False)}
+    paths = {"xla-rk4x13": make_fwd(models["rk4x13"], False)}
     if os.environ.get("ODEVIT_BENCH_PALLAS", "1") != "0":
-        paths["pallas"] = make_fwd(True)
+        for mname, m in models.items():
+            paths[f"pallas-{mname}"] = make_fwd(m, True)
 
     best = None
     iters = 30

@@ -70,7 +70,8 @@ def _gelu(x):
 def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                wqkv_ref, wout_ref, w1_ref, w2_ref, dx_ref,
                ctx_scratch, *,
-               num_heads: int, scaler: float, n_real: int, block_b: int):
+               num_heads: int, scaler: float, n_real: int, block_b: int,
+               euler_dt: float = 0.0):
     rows, d = x_ref.shape                  # rows = block_b * n_pad
     n_pad = rows // block_b
     hd = d // num_heads
@@ -119,12 +120,17 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     attn_o = jnp.dot(ctx_scratch[:].reshape(block_b * n_pad, d),
                      wout_ref[:],
                      preferred_element_type=jnp.float32)
-    dx_ref[:] = ((mlp_o + attn_o) * scaler).astype(dx_ref.dtype)
+    dx = (mlp_o + attn_o) * scaler
+    if euler_dt:
+        # fused Euler step: emit y + dt*f(y) directly — saves one
+        # state-sized elementwise pass (and its HBM round trip) per step
+        dx = xf + euler_dt * dx
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
                     num_heads: int, scaler: float, block_b: int,
-                    n_real: int = 0):
+                    n_real: int = 0, euler_dt: float = 0.0):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
@@ -140,7 +146,7 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
     grid = (b // block_b,)
     kernel = functools.partial(_vf_kernel, num_heads=num_heads,
                                scaler=scaler, n_real=n_real,
-                               block_b=block_b)
+                               block_b=block_b, euler_dt=euler_dt)
     mat = lambda i: (0, 0)
 
     out = pl.pallas_call(
@@ -266,3 +272,24 @@ def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
         return fused_vf(*args, num_heads, scaler, max(bb, 1), n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real)
+
+
+def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
+                                 scaler: float, dt: float,
+                                 block_b: int = 16, n_real: int = 0):
+    """One fused Euler step: y_{t+1} = y + dt * f(y), single kernel.
+
+    Inference-only (no custom_vjp; training integrates dx and lets the
+    solver combine — the saved pass only matters on the serving path).
+    """
+    b = y.shape[0]
+    bb = block_b
+    while b % bb:
+        bb //= 2
+    return _pallas_forward(
+        y, vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
+        vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
+        vf_params["attn"]["qkv_kernel"], vf_params["attn"]["out_kernel"],
+        vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
+        num_heads=num_heads, scaler=scaler, block_b=max(bb, 1),
+        n_real=n_real, euler_dt=dt)

@@ -19,8 +19,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
 from odevit_tpu.core.integrators import odeint
-from odevit_tpu.kernels.vector_field import TOKEN_PAD, fused_vf_from_params
+from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
+                                             fused_euler_step_from_params,
+                                             fused_vf_from_params)
 from odevit_tpu.models.vector_field import drift_scaler
 from odevit_tpu.ops.patch_embed import PatchEmbed
 
@@ -57,15 +61,34 @@ def fast_forward(model, params, images, *, block_b: int = 16,
         tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n), (0, 0)))
 
     scaler = drift_scaler(model.emulate_depth, model.time_interval)
+    # grid statically on host: uniformity decides the fused-Euler route,
+    # which must be a trace-time (not traced) decision
+    import numpy as np
+    if t_grid is None:
+        ts = np.linspace(0.0, model.time_interval, model.num_eval_steps)
+    else:
+        ts = np.asarray(t_grid)
 
-    def f(t, y):
-        return fused_vf_from_params(
-            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-            block_b=block_b, use_pallas=use_pallas, n_real=n)
+    uniform = (len(ts) < 3
+               or bool(np.allclose(np.diff(ts), ts[1] - ts[0])))
+    if model.solver == "euler" and use_pallas and uniform:
+        # fused Euler: the y + dt*f(y) update happens inside the kernel
+        dt = float(ts[1] - ts[0])
 
-    ts = model.make_time_grid() if t_grid is None else jnp.asarray(t_grid)
-    y_final, _ = odeint(f, tokens, ts, method=model.solver,
-                        return_states=False)
+        def step(y, _):
+            return fused_euler_step_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                dt=dt, block_b=block_b, n_real=n), None
+
+        y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
+    else:
+        def f(t, y):
+            return fused_vf_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+        y_final, _ = odeint(f, tokens, ts, method=model.solver,
+                            return_states=False)
 
     cls_final = y_final[:, 0].astype(jnp.float32)
     logits = cls_final @ params["head"]["kernel"] + params["head"]["bias"]
