@@ -44,6 +44,7 @@ def main(cfg):
     else:
         print("[teacher] training from random init (no pretrained backbone)")
         params = init_params
+    params = common.replicate(params, mesh)
 
     classifier_only = bool(cfg.setup.dict.get("classifier_only", False))
     if classifier_only:

@@ -41,7 +41,7 @@ def main(cfg):
     variables = init_on_cpu(model, jax.random.PRNGKey(0),
                             preprocess(jnp.asarray(
                                 sample["pixel_values"][:2])))
-    params = variables["params"]
+    params = common.replicate(variables["params"], mesh)
 
     frozen = []
     teacher, teacher_params = common.load_teacher(
@@ -51,7 +51,8 @@ def main(cfg):
         # graft + freeze the DINO cls token (main_classification_ode.py:96-97)
         params = dict(params)
         pe = dict(params["patch_embed"])
-        pe["cls_token"] = teacher_params["cls_token"]
+        pe["cls_token"] = common.replicate(
+            jnp.array(teacher_params["cls_token"]), mesh)
         params["patch_embed"] = pe
         frozen.append(("patch_embed", "cls_token"))
         print("[graft] frozen DINO cls token")
@@ -85,6 +86,7 @@ def main(cfg):
     jasmin_k = int(cfg.setup.dict.get("jasmin",
                                       cfg.setup.dict.get("jasmin_k", 10)))
     step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
+                                   use_jasmin=(model_type == "vit"),
                                    lr_schedule=sched,
                                    preprocess_fn=preprocess)
     eval_step = make_eval_step(model, preprocess_fn=preprocess)

@@ -75,7 +75,8 @@ def main(cfg):
 
     student, teacher, params, teacher_params = build_teacher_and_student(
         cfg, num_classes, sample_pixels)
-    teacher_params = jax.device_put(teacher_params, jax.devices()[0])
+    params = common.replicate(params, mesh)
+    teacher_params = common.replicate(teacher_params, mesh)
 
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"Training Model with a total parameters of {n_params/1e6:.3f} "

@@ -36,6 +36,8 @@ def main(cfg):
     sample_pixels = preprocess(jnp.asarray(batch["pixel_values"][:2]))
     student, teacher, params, teacher_params = build_teacher_and_student(
         cfg, num_classes, sample_pixels)
+    params = common.replicate(params, mesh)
+    teacher_params = common.replicate(teacher_params, mesh)
 
     sd = cfg.setup.dict
     epochs = int(sd.epochs)

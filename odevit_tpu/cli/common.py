@@ -118,6 +118,13 @@ def setup_mesh_and_sharding():
     return mesh, batch_sharding(mesh)
 
 
+def replicate(tree, mesh):
+    """Replicate a pytree over the mesh (params/teacher live everywhere;
+    batches are the only sharded inputs)."""
+    from odevit_tpu.parallel.mesh import replicated
+    return jax.device_put(tree, replicated(mesh))
+
+
 def load_teacher(checkpoint_path: str, num_classes: int,
                  hf_name: str = "facebook/dino-vitb16"):
     """Teacher params: reference .pt / HF directory / HF hub cache; returns

@@ -55,10 +55,13 @@ def make_free_train_step(model, tx, *, jasmin_k: int = 10,
                   else batch["pixel_values"])
 
         def loss_fn(params):
+            # ViTMacaron exposes no attention outputs (same as the
+            # reference's macaron.py) — only request them with JaSMin on
+            kwargs = ({"output_attentions": True, "jasmin_k": jasmin_k}
+                      if use_jasmin else {})
             out = model.apply(
                 {"params": params}, pixels, batch["labels"],
-                output_attentions=use_jasmin, jasmin_k=jasmin_k,
-                deterministic=False, rngs={"dropout": rng})
+                deterministic=False, rngs={"dropout": rng}, **kwargs)
             loss = out["loss"]
             jas = out.get("jasmin_loss", jnp.zeros(()))
             if use_jasmin:
