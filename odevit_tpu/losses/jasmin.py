@@ -23,18 +23,39 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
+def _top_values(p, kk):
+    """First ``kk`` order statistics per row via iterative argmax
+    extraction. Duplicate values are handled exactly (argmax removes one
+    occurrence per pass — attention rows of identical tokens tie exactly).
+
+    Why not lax.top_k: its TPU lowering (and especially its VJP scatter)
+    dominated the training step when called once per solver evaluation;
+    kk argmax+mask passes are pure VPU work with a trivial VJP.
+    """
+    n = p.shape[-1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    cur = p
+    tops = []
+    for _ in range(kk):
+        idx = jnp.argmax(cur, axis=-1)
+        sel = ids == idx[..., None]
+        tops.append(jnp.sum(jnp.where(sel, cur, 0.0), axis=-1))
+        cur = jnp.where(sel, -jnp.inf, cur)
+    return tops
+
+
 def _g_pair(p, k):
     """Return (g_1, g_k) per row of ``p`` ([..., N] prob rows), k >= 1."""
     n = p.shape[-1]
     kk = min(k + 1, n)
-    top = jax.lax.top_k(p, kk)[0]                      # [..., kk] descending
-    x1 = top[..., 0]
-    x2 = top[..., 1] if n > 1 else jnp.zeros_like(x1)
+    top = _top_values(p, kk)
+    x1 = top[0]
+    x2 = top[1] if n > 1 else jnp.zeros_like(x1)
     g1 = x1 * (1.0 - x1 + x2)
     if k <= 1:
         return g1, g1
-    xk = top[..., k - 1]
-    xk1 = top[..., k] if k < n else jnp.zeros_like(xk)
+    xk = top[k - 1]
+    xk1 = top[k] if k < n else jnp.zeros_like(xk)
     gk = xk * (1.0 - xk + xk1)
     return g1, gk
 

@@ -227,3 +227,13 @@ def test_finite_difference_bound_matches_oracle():
     np.testing.assert_allclose(np.asarray(got["batched_upper_bound"]),
                                (ff * curv.max(0)[0].max(-1)[0]).numpy(),
                                rtol=1e-5)
+
+
+def test_jasmin_handles_exact_ties():
+    # identical tokens -> exactly tied attention values; order statistics
+    # must count duplicates (x_(1) == x_(2) when the top value repeats)
+    row = np.array([0.3, 0.3, 0.2, 0.1, 0.1], np.float32)
+    maps = jnp.asarray(np.broadcast_to(row, (1, 1, 5, 5)))
+    got = float(jasmin_loss(maps, k=2))
+    want = float(torch_jasmin([torch.tensor(np.asarray(maps))], k=2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
