@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 import jax
 
+from odevit_tpu.core.adaptive import odeint_dopri5
 from odevit_tpu.core.integrators import odeint
 from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
                                              fused_euler_step_from_params,
@@ -71,7 +72,17 @@ def fast_forward(model, params, images, *, block_b: int = 16,
 
     uniform = (len(ts) < 3
                or bool(np.allclose(np.diff(ts), ts[1] - ts[0])))
-    if model.solver == "euler" and use_pallas and uniform:
+    if model.solver == "dopri5":
+        # adaptive inference: error-controlled NFE instead of a fixed grid
+        def f(t, y):
+            return fused_vf_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+        states, _ = odeint_dopri5(f, tokens,
+                                  jnp.asarray([ts[0], ts[-1]]))
+        y_final = states[-1]
+    elif model.solver == "euler" and use_pallas and uniform:
         # fused Euler: the y + dt*f(y) update happens inside the kernel
         dt = float(ts[1] - ts[0])
 

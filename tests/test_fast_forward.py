@@ -42,3 +42,21 @@ def test_fast_forward_dist_token():
     np.testing.assert_allclose(np.asarray(got["logits_dist"]),
                                np.asarray(want["logits_dist"]), atol=5e-4,
                                rtol=5e-3)
+
+
+def test_fast_forward_dopri5():
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+               mlp_ratio=2.0, num_classes=7, emulate_depth=4,
+               time_interval=1.0, num_eval_steps=5, solver="dopri5",
+               register_tokens=2)
+    fine = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                  mlp_ratio=2.0, num_classes=7, emulate_depth=4,
+                  time_interval=1.0, num_eval_steps=101, solver="rk4",
+                  register_tokens=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 3)).astype(np.float32))
+    v = fine.init(jax.random.PRNGKey(0), x)
+    want = fine.apply(v, x)["logits"]
+    got = fast_forward(m, v["params"], x, block_b=4)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=5e-2)
