@@ -64,7 +64,8 @@ def main(cfg):
 
     rng = jax.random.PRNGKey(0)
     for epoch in range(1, epochs):
-        state, metrics = step(state, teacher_params, batch, rng)
+        state, metrics = step(state, teacher_params, batch,
+                              jax.random.fold_in(rng, epoch))
         loss = float(metrics["loss"])
         acc = float(metrics["acc"])
         print(f"Epoch {epoch}: Loss {loss:.4f}, Accuracy {acc:.4f}")

@@ -39,25 +39,43 @@ SAFETY, MIN_FACTOR, MAX_FACTOR, ORDER = 0.9, 0.2, 10.0, 5.0
 
 
 def _error_ratio(err, y0, y1, rtol, atol):
-    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    r = err / scale
-    return jnp.sqrt(jnp.mean(r.astype(jnp.float32) ** 2))
+    """RMS of err/scale over every leaf of the state pytree."""
+    def leaf(e, a, b):
+        scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)
+                                          ).astype(jnp.float32)
+        r = e.astype(jnp.float32) / scale
+        return jnp.sum(r * r), r.size
+
+    parts = jax.tree_util.tree_map(leaf, err, y0, y1)
+    leaves = jax.tree_util.tree_leaves(parts, is_leaf=lambda x:
+                                       isinstance(x, tuple))
+    total = sum(p[0] for p in leaves)
+    count = sum(p[1] for p in leaves)
+    return jnp.sqrt(total / count)
+
+
+def _lc(y, dt, coeffs, ks):
+    """y + dt * sum(c_i k_i), accumulated in f32, cast back to y's dtype
+    (the carry dtype must be stable under jit; bf16 states stay bf16)."""
+    def add(yl, *kls):
+        acc = yl.astype(jnp.float32)
+        for c, kl in zip(coeffs, kls):
+            acc = acc + dt * c * kl.astype(jnp.float32)
+        return acc.astype(yl.dtype)
+    return jax.tree_util.tree_map(add, y, *ks)
 
 
 def _dopri_step(f, t, y, f0, dt):
-    """One embedded step. Returns (y5, f_new (FSAL), err_ratio inputs)."""
+    """One embedded step. Returns (y5, f_new (FSAL), err estimate)."""
     ks = [f0]
     for i in range(1, 7):
-        yi = y
-        for j, a in enumerate(_A[i]):
-            yi = yi + dt * a * ks[j]
+        yi = _lc(y, dt, _A[i], ks[:len(_A[i])])
         ks.append(f(t + dt * _C[i], yi))
-    y5 = y
-    for b, k in zip(_B5, ks):
-        y5 = y5 + dt * b * k
-    err = jnp.zeros_like(y)
-    for b5, b4, k in zip(_B5, _B4, ks):
-        err = err + dt * (b5 - b4) * k
+    y5 = _lc(y, dt, _B5, ks)
+    err = jax.tree_util.tree_map(
+        lambda *kls: sum(dt * (b5 - b4) * kl.astype(jnp.float32)
+                         for b5, b4, kl in zip(_B5, _B4, kls)),
+        *ks)
     return y5, ks[6], err       # ks[6] = f(t+dt, y5): FSAL
 
 

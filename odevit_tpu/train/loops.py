@@ -39,8 +39,22 @@ def train_epoch(loader, state, step_fn, rng, *, epoch: int = 0,
     iter_store = defaultdict(list)
     t0 = time.time()
     seen = 0
+    import jax as _jax
+    # Per-step keys are built from HOST integers: re-submitting any
+    # long-lived device buffer (the epoch rng key — even as fold_in input)
+    # across queued executions trips a ~15x async-dispatch stall in the
+    # tunneled TPU runtime (measured 1.5s vs 106ms/step). PRNGKey(int)
+    # takes a host scalar, so every submission uses fresh buffers; it
+    # also gives per-batch rng hygiene on top of the in-step fold by
+    # state.step.
+    try:
+        seed0 = int(np.asarray(_jax.random.key_data(rng)).ravel()[-1])
+    except Exception:
+        seed0 = int(np.asarray(rng).ravel()[-1])
     for batch_idx, batch in enumerate(loader):
-        state, metrics = step_fn(state, batch, rng, **step_kwargs)
+        step_rng = _jax.random.PRNGKey(
+            (seed0 + epoch * 100003 + batch_idx) % (2 ** 31))
+        state, metrics = step_fn(state, batch, step_rng, **step_kwargs)
         _acc_into(epoch_store, metrics)
         _acc_into(iter_store, metrics)
         seen += int(np.asarray(jax.device_get(batch["labels"])).shape[0])
