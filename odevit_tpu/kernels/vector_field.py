@@ -69,9 +69,12 @@ def _gelu(x):
 
 def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                wqkv_ref, wout_ref, w1_ref, w2_ref, dx_ref,
-               ctx_scratch, *,
+               *refs,
                num_heads: int, scaler: float, n_real: int, block_b: int,
-               euler_dt: float = 0.0):
+               euler_dt: float = 0.0, emit_attn: bool = False):
+    # trailing refs: [attn_ref (if emit_attn)], ctx_scratch
+    attn_ref = refs[0] if emit_attn else None
+    ctx_scratch = refs[-1]
     rows, d = x_ref.shape                  # rows = block_b * n_pad
     n_pad = rows // block_b
     hd = d // num_heads
@@ -116,6 +119,8 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         ctx_h = jax.lax.dot_general(p, v, pdims,
                                     preferred_element_type=jnp.float32)
         ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = ctx_h.astype(dtype)
+        if emit_attn:
+            attn_ref[:, hh, :, :] = p
 
     attn_o = jnp.dot(ctx_scratch[:].reshape(block_b * n_pad, d),
                      wout_ref[:],
@@ -130,7 +135,8 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
 
 def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
                     num_heads: int, scaler: float, block_b: int,
-                    n_real: int = 0, euler_dt: float = 0.0):
+                    n_real: int = 0, euler_dt: float = 0.0,
+                    emit_attn: bool = False):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
@@ -146,8 +152,21 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
     grid = (b // block_b,)
     kernel = functools.partial(_vf_kernel, num_heads=num_heads,
                                scaler=scaler, n_real=n_real,
-                               block_b=block_b, euler_dt=euler_dt)
+                               block_b=block_b, euler_dt=euler_dt,
+                               emit_attn=emit_attn)
     mat = lambda i: (0, 0)
+
+    out_specs = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shapes = jax.ShapeDtypeStruct((b * n_pad, d), x.dtype)
+    if emit_attn:
+        out_specs = (out_specs,
+                     pl.BlockSpec((block_b, num_heads, n_pad, n_pad),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct(
+                          (b, num_heads, n_pad, n_pad), x.dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -165,9 +184,8 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
             pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * n_pad, d), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_b, n_pad, d), x.dtype),
         ],
@@ -177,12 +195,18 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
     )(x2d, cna_s[None], cna_b[None], cnm_s[None], cnm_b[None],
       wqkv, wout, w1, w2)
 
+    if emit_attn:
+        out, attn = out
+        out = out.reshape(b, n_pad, d)[:, :n, :]
+        # padded QUERY rows carry garbage probabilities; slice to real
+        return out, attn[:, :, :n, :n]
     out = out.reshape(b, n_pad, d)
     return out[:, :n, :] if n_pad != n else out
 
 
 def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
-                   num_heads: int, scaler: float, n_real: int = 0):
+                   num_heads: int, scaler: float, n_real: int = 0,
+                   return_attn: bool = False):
     """Pure-XLA twin of the kernel (same math/dtype policy); used for the
     custom-vjp backward and for numerics tests. ``n_real < n`` masks the
     trailing (padded) tokens out of the attention keys."""
@@ -219,7 +243,10 @@ def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d).astype(dtype)
     attn_o = jnp.dot(ctx, wout.astype(dtype),
                      preferred_element_type=jnp.float32)
-    return ((mlp_o + attn_o) * scaler).astype(dtype)
+    dx = ((mlp_o + attn_o) * scaler).astype(dtype)
+    if return_attn:
+        return dx, p
+    return dx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
@@ -293,3 +320,51 @@ def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
         vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
         num_heads=num_heads, scaler=scaler, block_b=max(bb, 1),
         n_real=n_real, euler_dt=dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_vf_attn(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                  num_heads: int, scaler: float, block_b: int,
+                  n_real: int = 0):
+    """Fused evaluation that ALSO returns the per-head attention maps
+    [B, H, N, N] — the training-path variant (JaSMin and attention
+    distillation consume the maps). Backward recomputes through the XLA
+    twin with cotangents flowing into both outputs."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real, emit_attn=True)
+
+
+def _fused_vf_attn_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                       num_heads, scaler, block_b, n_real):
+    out = fused_vf_attn(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                        num_heads, scaler, block_b, n_real)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
+
+
+def _fused_vf_attn_bwd(num_heads, scaler, block_b, n_real, residuals, g):
+    ref = functools.partial(_xla_reference, num_heads=num_heads,
+                            scaler=scaler, n_real=n_real, return_attn=True)
+    _, vjp = jax.vjp(ref, *residuals)
+    return vjp(g)
+
+
+fused_vf_attn.defvjp(_fused_vf_attn_fwd, _fused_vf_attn_bwd)
+
+
+def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
+                              scaler: float, block_b: int = 16,
+                              use_pallas: bool = True, n_real: int = 0):
+    args = (x,
+            vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
+            vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
+            vf_params["attn"]["qkv_kernel"], vf_params["attn"]["out_kernel"],
+            vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"])
+    if use_pallas:
+        b = x.shape[0]
+        bb = block_b
+        while b % bb:
+            bb //= 2
+        return fused_vf_attn(*args, num_heads, scaler, max(bb, 1), n_real)
+    return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
+                          n_real=n_real, return_attn=True)
