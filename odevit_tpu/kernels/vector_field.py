@@ -68,12 +68,18 @@ def _gelu(x):
 
 
 def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
-               wqkv_ref, wout_ref, w1_ref, w2_ref, dx_ref,
+               wqkv_ref, wout_ref, w1_ref, w2_ref,
                *refs,
                num_heads: int, scaler: float, n_real: int, block_b: int,
-               euler_dt: float = 0.0, emit_attn: bool = False):
-    # trailing refs: [attn_ref (if emit_attn)], ctx_scratch
-    attn_ref = refs[0] if emit_attn else None
+               euler_dt: float = 0.0, emit_attn: bool = False,
+               l2_attention: bool = False, has_bias: bool = False):
+    # ref order: [qkvb, outb (if has_bias)] (inputs), dx_ref,
+    #            [attn_ref (if emit_attn)] (outputs), ctx_scratch
+    refs = list(refs)
+    qkv_bias = refs.pop(0)[0] if has_bias else None
+    out_bias = refs.pop(0)[0] if has_bias else None
+    dx_ref = refs.pop(0)
+    attn_ref = refs.pop(0) if emit_attn else None
     ctx_scratch = refs[-1]
     rows, d = x_ref.shape                  # rows = block_b * n_pad
     n_pad = rows // block_b
@@ -93,9 +99,10 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     h = _gelu(h).astype(dtype)
     mlp_o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
 
-    qkv = jnp.dot(cn_a, wqkv_ref[:],
-                  preferred_element_type=jnp.float32
-                  ).astype(dtype).reshape(block_b, n_pad, 3 * d)
+    qkv32 = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=jnp.float32)
+    if qkv_bias is not None:
+        qkv32 = qkv32 + qkv_bias
+    qkv = qkv32.astype(dtype).reshape(block_b, n_pad, 3 * d)
 
     # key mask: padded tokens never receive attention mass. Multiplicative
     # (0/1 on the exp'd scores) — jnp.where-style additive masks crash the
@@ -108,14 +115,27 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     bdims = (((2,), (2,)), ((0,), (0,)))       # contract hd, batch TB
     pdims = (((2,), (1,)), ((0,), (0,)))       # [TB,N,N] x [TB,N,hd]
     for hh in range(num_heads):                # static, small
-        q = qkv[:, :, hh * hd:(hh + 1) * hd].astype(jnp.float32) * qk_scale
+        q32 = qkv[:, :, hh * hd:(hh + 1) * hd].astype(jnp.float32)
         k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(jnp.float32)
         v = qkv[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
-        s = jax.lax.dot_general(q, k, bdims,
-                                preferred_element_type=jnp.float32)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s) * key_mask
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        if l2_attention:
+            # exp(-||q-k||^2 * scale) row-normalized (no softmax);
+            # expanded-form distance keeps the NxN interaction on the MXU
+            qk = jax.lax.dot_general(q32, k, bdims,
+                                     preferred_element_type=jnp.float32)
+            q2 = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+            k2 = jnp.sum(k * k, axis=-1)[:, None, :]
+            dist2 = q2 + k2 - 2.0 * qk
+            e = jnp.exp(-dist2 * qk_scale) * key_mask
+            p = (e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-8)
+                 ).astype(dtype)
+        else:
+            q = q32 * qk_scale
+            s = jax.lax.dot_general(q, k, bdims,
+                                    preferred_element_type=jnp.float32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s) * key_mask
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
         ctx_h = jax.lax.dot_general(p, v, pdims,
                                     preferred_element_type=jnp.float32)
         ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = ctx_h.astype(dtype)
@@ -125,6 +145,8 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     attn_o = jnp.dot(ctx_scratch[:].reshape(block_b * n_pad, d),
                      wout_ref[:],
                      preferred_element_type=jnp.float32)
+    if out_bias is not None:
+        attn_o = attn_o + out_bias
     dx = (mlp_o + attn_o) * scaler
     if euler_dt:
         # fused Euler step: emit y + dt*f(y) directly — saves one
@@ -133,10 +155,11 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
-def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
+def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                    qkv_bias=None, out_bias=None, *,
                     num_heads: int, scaler: float, block_b: int,
                     n_real: int = 0, euler_dt: float = 0.0,
-                    emit_attn: bool = False):
+                    emit_attn: bool = False, l2_attention: bool = False):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
@@ -150,10 +173,13 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
 
     rows = block_b * n_pad
     grid = (b // block_b,)
+    has_bias = qkv_bias is not None
     kernel = functools.partial(_vf_kernel, num_heads=num_heads,
                                scaler=scaler, n_real=n_real,
                                block_b=block_b, euler_dt=euler_dt,
-                               emit_attn=emit_attn)
+                               emit_attn=emit_attn,
+                               l2_attention=l2_attention,
+                               has_bias=has_bias)
     mat = lambda i: (0, 0)
 
     out_specs = pl.BlockSpec((rows, d), lambda i: (i, 0),
@@ -168,22 +194,30 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
                       jax.ShapeDtypeStruct(
                           (b, num_heads, n_pad, n_pad), x.dtype))
 
+    in_specs = [
+        pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d, cna_s[None], cna_b[None], cnm_s[None], cnm_b[None],
+                wqkv, wout, w1, w2]
+    if has_bias:
+        in_specs += [pl.BlockSpec((1, 3 * d), mat, memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)]
+        operands += [qkv_bias[None].astype(jnp.float32),
+                     out_bias[None].astype(jnp.float32)]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=_interpret_default(),
-        in_specs=[
-            pl.BlockSpec((rows, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -192,8 +226,7 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
         # NOTE: no pl.CostEstimate here — supplying one sends this kernel
         # down a pathological XLA scheduling path (~300s compiles vs ~4s;
         # measured on v5e, jax 0.9).
-    )(x2d, cna_s[None], cna_b[None], cnm_s[None], cnm_b[None],
-      wqkv, wout, w1, w2)
+    )(*operands)
 
     if emit_attn:
         out, attn = out
@@ -204,9 +237,10 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
     return out[:, :n, :] if n_pad != n else out
 
 
-def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
+def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                   qkv_bias=None, out_bias=None, *,
                    num_heads: int, scaler: float, n_real: int = 0,
-                   return_attn: bool = False):
+                   return_attn: bool = False, l2_attention: bool = False):
     """Pure-XLA twin of the kernel (same math/dtype policy); used for the
     custom-vjp backward and for numerics tests. ``n_real < n`` masks the
     trailing (padded) tokens out of the attention keys."""
@@ -224,25 +258,42 @@ def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, *,
 
     qkv = jnp.dot(cn_a, wqkv.astype(dtype),
                   preferred_element_type=jnp.float32)
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
         return t.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
 
-    q = heads(q) * hd ** -0.5
-    k = heads(k)
-    v = heads(v).astype(dtype)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32)
-    if n_real and n_real < n:
-        key_mask = (jnp.arange(n) < n_real)
-        s = jnp.where(key_mask[None, None, None, :], s, -1e30)
-    p = jax.nn.softmax(s, axis=-1).astype(dtype)
+    if l2_attention:
+        q = heads(q)
+        k = heads(k)
+        v = heads(v).astype(dtype)
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+        d2 = (jnp.sum(q * q, -1, keepdims=True)
+              + jnp.sum(k * k, -1)[:, :, None, :] - 2.0 * qk)
+        e = jnp.exp(-d2 * hd ** -0.5)
+        if n_real and n_real < n:
+            e = e * (jnp.arange(n) < n_real)[None, None, None, :]
+        p = (e / (jnp.sum(e, -1, keepdims=True) + 1e-8)).astype(dtype)
+    else:
+        q = heads(q) * hd ** -0.5
+        k = heads(k)
+        v = heads(v).astype(dtype)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        if n_real and n_real < n:
+            key_mask = (jnp.arange(n) < n_real)
+            s = jnp.where(key_mask[None, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v,
                      preferred_element_type=jnp.float32)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d).astype(dtype)
     attn_o = jnp.dot(ctx, wout.astype(dtype),
                      preferred_element_type=jnp.float32)
+    if out_bias is not None:
+        attn_o = attn_o + out_bias
     dx = ((mlp_o + attn_o) * scaler).astype(dtype)
     if return_attn:
         return dx, p
@@ -368,3 +419,64 @@ def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
         return fused_vf_attn(*args, num_heads, scaler, max(bb, 1), n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, return_attn=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def fused_vf_l2(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                qkv_bias, out_bias,
+                num_heads: int, scaler: float, block_b: int,
+                n_real: int = 0):
+    """Fused evaluation with L2-distance attention (exp(-||q-k||^2 scale)
+    row-normalized; biased projections) — the reference's
+    Lipschitz-controlled variant (L2SelfAttention)."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, qkv_bias, out_bias,
+                           num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real,
+                           l2_attention=True)
+
+
+def _fused_vf_l2_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                     qkv_bias, out_bias, num_heads, scaler, block_b,
+                     n_real):
+    out = fused_vf_l2(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                      qkv_bias, out_bias, num_heads, scaler, block_b,
+                      n_real)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                 qkv_bias, out_bias)
+
+
+def _fused_vf_l2_bwd(num_heads, scaler, block_b, n_real, residuals, g):
+    ref = functools.partial(_xla_reference, num_heads=num_heads,
+                            scaler=scaler, n_real=n_real,
+                            l2_attention=True)
+    _, vjp = jax.vjp(ref, *residuals)
+    return vjp(g)
+
+
+fused_vf_l2.defvjp(_fused_vf_l2_fwd, _fused_vf_l2_bwd)
+
+
+def fused_vf_l2_from_params(x, vf_params, *, num_heads: int, scaler: float,
+                            block_b: int = 16, use_pallas: bool = True,
+                            n_real: int = 0):
+    """Apply the L2-attention fused kernel from an L2 ParallelVectorField
+    params subtree (separate q/k/v kernels + biases are fused here)."""
+    a = vf_params["attn"]
+    wqkv = jnp.concatenate([a["q_kernel"], a["k_kernel"], a["v_kernel"]],
+                           axis=1)
+    qkv_bias = jnp.concatenate([a["q_bias"], a["k_bias"], a["v_bias"]])
+    args = (x,
+            vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
+            vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
+            wqkv, a["out_kernel"],
+            vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
+            qkv_bias, a["out_bias"])
+    if use_pallas:
+        b = x.shape[0]
+        bb = block_b
+        while b % bb:
+            bb //= 2
+        return fused_vf_l2(*args, num_heads, scaler, max(bb, 1), n_real)
+    return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
+                          n_real=n_real, l2_attention=True)

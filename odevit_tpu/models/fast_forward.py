@@ -25,7 +25,8 @@ from odevit_tpu.core.adaptive import odeint_dopri5
 from odevit_tpu.core.integrators import odeint
 from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
                                              fused_euler_step_from_params,
-                                             fused_vf_from_params)
+                                             fused_vf_from_params,
+                                             fused_vf_l2_from_params)
 from odevit_tpu.models.vector_field import drift_scaler
 from odevit_tpu.ops.patch_embed import PatchEmbed
 
@@ -50,7 +51,6 @@ def fast_forward(model, params, images, *, block_b: int = 16,
       images: [B, H, W, C] preprocessed floats.
     Returns {"logits": [B, num_classes]}.
     """
-    assert not model.l2_attention, "fused kernel covers softmax attention"
     assert not model.time_conditioning, "autonomous field only"
 
     pe = _patch_embed_module(model)
@@ -72,17 +72,23 @@ def fast_forward(model, params, images, *, block_b: int = 16,
 
     uniform = (len(ts) < 3
                or bool(np.allclose(np.diff(ts), ts[1] - ts[0])))
+    if model.l2_attention:
+        vf_apply = fused_vf_l2_from_params
+    else:
+        vf_apply = fused_vf_from_params
+
     if model.solver == "dopri5":
         # adaptive inference: error-controlled NFE instead of a fixed grid
         def f(t, y):
-            return fused_vf_from_params(
+            return vf_apply(
                 y, params["vf"], num_heads=model.num_heads, scaler=scaler,
                 block_b=block_b, use_pallas=use_pallas, n_real=n)
 
         states, _ = odeint_dopri5(f, tokens,
                                   jnp.asarray([ts[0], ts[-1]]))
         y_final = states[-1]
-    elif model.solver == "euler" and use_pallas and uniform:
+    elif (model.solver == "euler" and use_pallas and uniform
+          and not model.l2_attention):
         # fused Euler: the y + dt*f(y) update happens inside the kernel
         dt = float(ts[1] - ts[0])
 
@@ -94,7 +100,7 @@ def fast_forward(model, params, images, *, block_b: int = 16,
         y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
     else:
         def f(t, y):
-            return fused_vf_from_params(
+            return vf_apply(
                 y, params["vf"], num_heads=model.num_heads, scaler=scaler,
                 block_b=block_b, use_pallas=use_pallas, n_real=n)
 

@@ -97,3 +97,29 @@ def test_padding_does_not_leak():
                                use_pallas=False)
     np.testing.assert_allclose(np.asarray(out_small), np.asarray(ref),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_fused_vf_l2_matches_flax_l2_field():
+    """L2-attention fused kernel == the flax L2 ParallelVectorField."""
+    from odevit_tpu.kernels.vector_field import fused_vf_l2_from_params
+    d, heads = 64, 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 17, d)), jnp.float32)
+    vf = ParallelVectorField(dim=d, num_heads=heads, mlp_ratio=2.0,
+                             emulate_depth=12.0, time_interval=1.0,
+                             l2_attention=True)
+    variables = vf.init(jax.random.PRNGKey(0), x, 0.0)
+    dx_flax, _ = vf.apply(variables, x, 0.0)
+    p = variables["params"]
+    got = fused_vf_l2_from_params(x, p, num_heads=heads, scaler=12.0,
+                                  block_b=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dx_flax),
+                               atol=5e-4, rtol=5e-3)
+    got_xla = fused_vf_l2_from_params(x, p, num_heads=heads, scaler=12.0,
+                                      use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(dx_flax),
+                               atol=1e-4, rtol=1e-4)
+    # grads flow through the custom vjp
+    g = jax.grad(lambda x: jnp.sum(fused_vf_l2_from_params(
+        x, p, num_heads=heads, scaler=2.0, block_b=4) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
