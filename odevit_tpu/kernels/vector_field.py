@@ -323,10 +323,9 @@ def _fused_vf_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
 
 
 def _fused_vf_bwd(num_heads, scaler, block_b, n_real, residuals, g):
-    ref = functools.partial(_xla_reference, num_heads=num_heads,
-                            scaler=scaler, n_real=n_real)
-    _, vjp = jax.vjp(ref, *residuals)
-    return vjp(g)
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    return pallas_vf_bwd(*residuals, g, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real)
 
 
 fused_vf.defvjp(_fused_vf_fwd, _fused_vf_bwd)
@@ -394,10 +393,10 @@ def _fused_vf_attn_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
 
 
 def _fused_vf_attn_bwd(num_heads, scaler, block_b, n_real, residuals, g):
-    ref = functools.partial(_xla_reference, num_heads=num_heads,
-                            scaler=scaler, n_real=n_real, return_attn=True)
-    _, vjp = jax.vjp(ref, *residuals)
-    return vjp(g)
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    g_dx, g_attn = g
+    return pallas_vf_bwd(*residuals, g_dx, g_attn, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real)
 
 
 fused_vf_attn.defvjp(_fused_vf_attn_fwd, _fused_vf_attn_bwd)

@@ -1,0 +1,289 @@
+"""Hand-written backward kernel for the fused vector-field evaluation.
+
+Closes the training-path gap: the custom-vjp previously recomputed the
+pure-XLA twin in the backward (so remat'd training did forward work
+twice plus an un-fused backward). This kernel recomputes the forward
+intermediates IN VMEM and produces all cotangents in one pass:
+
+  inputs:  x [R, D], norms, weights, dx_bar [R, D]
+           (+ optional attn_bar [TB, H, NP, NP] from JaSMin/distillation)
+  outputs: x_bar [R, D]  (blocked over the batch grid)
+           w_bars (Wqkv, Wout, W1, W2) and norm bars (gamma/beta x2),
+           ACCUMULATED across grid steps (constant-index output blocks;
+           the TPU grid is sequential, so += is race-free).
+
+Derivation sketch (per evaluation, lambda = drift scaler):
+  dx = (MLP(cn_m) + Attn(cn_a)) * lambda
+  MLP bwd:   h_bar = mo_bar W2^T; W2_bar += h^T mo_bar
+             h1_bar = h_bar * gelu'(h1); W1_bar += cn_m^T h1_bar
+             m_bar = h1_bar W1^T
+  Attn bwd:  ctx_bar = ao_bar Wout^T; Wout_bar += ctx^T ao_bar
+             per head: p_bar = ctx_bar v^T (+ attn_bar)
+                       v_bar = p^T ctx_bar
+                       s_bar = p * (p_bar - sum(p_bar * p, -1))
+                       q_bar = s_bar k * tau;  k_bar = s_bar^T q * tau
+             Wqkv_bar += cn_a^T [q_bar k_bar v_bar]
+             a_bar = [q_bar k_bar v_bar] Wqkv^T
+  CenterNorm bwd (c = s(x - mean), y = c*gamma + beta):
+             c_bar = a_bar*gamma_a + m_bar*gamma_m
+             gamma_bar += sum(a_bar * c); beta_bar += sum(a_bar)
+             x_bar = s * (c_bar - mean(c_bar, -1))
+
+Softmax-attention only (the training fast path); biased/L2 variants keep
+the XLA-twin backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from odevit_tpu.kernels.vector_field import (_gelu, _erf, TOKEN_PAD,
+                                             _interpret_default)
+
+
+def _gelu_grad(x):
+    """d/dx [0.5 x (1 + erf(x/sqrt2))] = 0.5(1+erf(x/sqrt2))
+    + x/sqrt(2 pi) exp(-x^2/2)."""
+    c = 2.0 ** -0.5
+    return (0.5 * (1.0 + _erf(x * c))
+            + x * 0.3989422804014327 * jnp.exp(-0.5 * x * x))
+
+
+def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
+                   wqkv_ref, wout_ref, w1_ref, w2_ref, g_ref,
+                   *refs,
+                   num_heads: int, scaler: float, n_real: int,
+                   block_b: int, has_attn_bar: bool):
+    refs = list(refs)
+    gattn_ref = refs.pop(0) if has_attn_bar else None
+    (xbar_ref, wqkvbar_ref, woutbar_ref, w1bar_ref, w2bar_ref,
+     cnasbar_ref, cnabbar_ref, cnmsbar_ref, cnmbbar_ref) = refs[:9]
+    ctx_scratch, qkvbar_scratch = refs[9:]
+
+    rows, d = x_ref.shape
+    n_pad = rows // block_b
+    hd = d // num_heads
+    tau = hd ** -0.5
+    dtype = x_ref.dtype
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        wqkvbar_ref[:] = jnp.zeros_like(wqkvbar_ref)
+        woutbar_ref[:] = jnp.zeros_like(woutbar_ref)
+        w1bar_ref[:] = jnp.zeros_like(w1bar_ref)
+        w2bar_ref[:] = jnp.zeros_like(w2bar_ref)
+        cnasbar_ref[:] = jnp.zeros_like(cnasbar_ref)
+        cnabbar_ref[:] = jnp.zeros_like(cnabbar_ref)
+        cnmsbar_ref[:] = jnp.zeros_like(cnmsbar_ref)
+        cnmbbar_ref[:] = jnp.zeros_like(cnmbbar_ref)
+
+    # ---- recompute forward intermediates (all VMEM-resident) ----
+    xf = x_ref[:].astype(f32)
+    cent = (xf - jnp.mean(xf, axis=-1, keepdims=True)) * (d / (d - 1.0))
+    cn_a = (cent * cna_s_ref[0] + cna_b_ref[0]).astype(dtype)
+    cn_m = (cent * cnm_s_ref[0] + cnm_b_ref[0]).astype(dtype)
+
+    h1 = jnp.dot(cn_m, w1_ref[:], preferred_element_type=f32)
+    h = _gelu(h1).astype(dtype)
+    qkv = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32
+                  ).astype(dtype).reshape(block_b, n_pad, 3 * d)
+
+    key_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+                < n_real).astype(f32)[None]
+    bdims = (((2,), (2,)), ((0,), (0,)))      # contract last, batch TB
+    pdims = (((2,), (1,)), ((0,), (0,)))      # [TB,N,N] x [TB,N,hd]
+
+    g = g_ref[:].astype(f32) * scaler          # mo_bar == ao_bar
+    gb = g.reshape(block_b, n_pad, d)
+
+    # ---- MLP backward ----
+    gd = g.astype(dtype)
+    h_bar = jax.lax.dot_general(gd, w2_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)  # g @ W2^T
+    w2bar_ref[:] += jax.lax.dot_general(
+        h, gd, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)                          # h^T g
+    h1_bar = (h_bar * _gelu_grad(h1)).astype(dtype)
+    m_bar = jax.lax.dot_general(h1_bar, w1_ref[:],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)  # @ W1^T
+    w1bar_ref[:] += jax.lax.dot_general(
+        cn_m, h1_bar, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+
+    # ---- attention backward (per head, batched over the tile) ----
+    ctx_bar = jax.lax.dot_general(gd, wout_ref[:],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32
+                                  ).reshape(block_b, n_pad, d)
+    for hh in range(num_heads):
+        q = qkv[:, :, hh * hd:(hh + 1) * hd].astype(f32)
+        k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(f32)
+        v = qkv[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
+        s = jax.lax.dot_general(q * tau, k, bdims,
+                                preferred_element_type=f32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s) * key_mask
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        cb_h = ctx_bar[:, :, hh * hd:(hh + 1) * hd].astype(dtype)
+        # recompute ctx_h for Wout_bar accumulation
+        ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
+            p.astype(dtype), v, pdims,
+            preferred_element_type=f32).astype(dtype)
+
+        p_bar = jax.lax.dot_general(cb_h, v, bdims,
+                                    preferred_element_type=f32)
+        if has_attn_bar:
+            p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
+        v_bar = jax.lax.dot_general(
+            p.astype(dtype), cb_h,
+            (((1,), (1,)), ((0,), (0,))),                 # p^T @ cb_h
+            preferred_element_type=f32)
+        s_bar = p * (p_bar - jnp.sum(p_bar * p, axis=-1, keepdims=True))
+        s_bar = (s_bar * key_mask).astype(dtype)
+        q_bar = jax.lax.dot_general(
+            s_bar, k.astype(dtype), pdims,
+            preferred_element_type=f32) * tau
+        k_bar = jax.lax.dot_general(
+            s_bar, (q * tau).astype(dtype),
+            (((1,), (1,)), ((0,), (0,))),                 # s_bar^T q tau
+            preferred_element_type=f32)
+        qkvbar_scratch[:, :, hh * hd:(hh + 1) * hd] = q_bar.astype(dtype)
+        qkvbar_scratch[:, :, d + hh * hd:d + (hh + 1) * hd] = \
+            k_bar.astype(dtype)
+        qkvbar_scratch[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd] = \
+            v_bar.astype(dtype)
+
+    ctx2d = ctx_scratch[:].reshape(rows, d)
+    woutbar_ref[:] += jax.lax.dot_general(
+        ctx2d, gd, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    qkv_bar2d = qkvbar_scratch[:].reshape(rows, 3 * d)
+    a_bar = jax.lax.dot_general(qkv_bar2d, wqkv_ref[:],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+    wqkvbar_ref[:] += jax.lax.dot_general(
+        cn_a, qkv_bar2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+
+    # ---- CenterNorm backward ----
+    cnasbar_ref[:] += jnp.sum(a_bar * cent, axis=0, keepdims=True)
+    cnabbar_ref[:] += jnp.sum(a_bar, axis=0, keepdims=True)
+    cnmsbar_ref[:] += jnp.sum(m_bar * cent, axis=0, keepdims=True)
+    cnmbbar_ref[:] += jnp.sum(m_bar, axis=0, keepdims=True)
+
+    c_bar = a_bar * cna_s_ref[0] + m_bar * cnm_s_ref[0]
+    x_bar = (d / (d - 1.0)) * (c_bar - jnp.mean(c_bar, axis=-1,
+                                                keepdims=True))
+    xbar_ref[:] = x_bar.astype(xbar_ref.dtype)
+
+
+def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                  g_dx, g_attn=None, *, num_heads: int, scaler: float,
+                  block_b: int, n_real: int = 0):
+    """Backward pass of the fused evaluation.
+
+    Args mirror the forward; ``g_dx`` is the dx cotangent [B, N, D] and
+    ``g_attn`` the optional attention-map cotangent [B, H, N, N].
+    Returns cotangents for (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+    w1, w2) in f32.
+    """
+    b, n, d = x.shape
+    dh = w1.shape[-1]
+    n_real = n_real or n
+    # the backward holds ~3x the forward's live intermediates (recompute
+    # + cotangents); run at a quarter of the forward tile to fit the
+    # 16MB VMEM budget
+    block_b = max(block_b // 4, 1)
+    while b % block_b:
+        block_b //= 2
+    block_b = max(block_b, 1)
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        x = jnp.pad(x, pad)
+        g_dx = jnp.pad(g_dx, pad)
+        if g_attn is not None:
+            g_attn = jnp.pad(g_attn, ((0, 0), (0, 0), (0, n_pad - n),
+                                      (0, n_pad - n)))
+    x2d = x.reshape(b * n_pad, d)
+    g2d = g_dx.reshape(b * n_pad, d).astype(x.dtype)
+    wqkv_c, wout_c, w1_c, w2_c = (w.astype(x.dtype)
+                                  for w in (wqkv, wout, w1, w2))
+
+    rows = block_b * n_pad
+    grid = (b // block_b,)
+    mat = lambda i: (0, 0)
+    kernel = functools.partial(
+        _vf_bwd_kernel, num_heads=num_heads, scaler=scaler,
+        n_real=n_real, block_b=block_b,
+        has_attn_bar=g_attn is not None)
+
+    in_specs = [
+        pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d, cna_s[None], cna_b[None], cnm_s[None], cnm_b[None],
+                wqkv_c, wout_c, w1_c, w2_c, g2d]
+    if g_attn is not None:
+        in_specs.append(pl.BlockSpec(
+            (block_b, num_heads, n_pad, n_pad),
+            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
+        operands.append(g_attn.astype(x.dtype))
+
+    f32 = jnp.float32
+    out_specs = (
+        pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b * n_pad, d), f32),
+        jax.ShapeDtypeStruct((d, 3 * d), f32),
+        jax.ShapeDtypeStruct((d, d), f32),
+        jax.ShapeDtypeStruct((d, dh), f32),
+        jax.ShapeDtypeStruct((dh, d), f32),
+        jax.ShapeDtypeStruct((1, d), f32),
+        jax.ShapeDtypeStruct((1, d), f32),
+        jax.ShapeDtypeStruct((1, d), f32),
+        jax.ShapeDtypeStruct((1, d), f32),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=_interpret_default(),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, n_pad, d), x.dtype),
+            pltpu.VMEM((block_b, n_pad, 3 * d), x.dtype),
+        ],
+    )(*operands)
+
+    (xbar2d, wqkv_bar, wout_bar, w1_bar, w2_bar,
+     cnas_bar, cnab_bar, cnms_bar, cnmb_bar) = outs
+    x_bar = xbar2d.reshape(b, n_pad, d)[:, :n, :].astype(x.dtype)
+    return (x_bar, cnas_bar[0], cnab_bar[0], cnms_bar[0], cnmb_bar[0],
+            wqkv_bar, wout_bar, w1_bar, w2_bar)

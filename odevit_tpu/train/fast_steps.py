@@ -4,13 +4,17 @@ Runs each solver evaluation through the attention-emitting Pallas kernel
 (fused_vf_attn) with JaSMin folded per evaluation, inside a remat'd
 lax.scan; numerics match the flax step exactly (tested).
 
-STATUS (measured, v5e): currently ~1.8x SLOWER than the flax training
-step — under remat, the custom-vjp backward recomputes the XLA twin *in
-addition to* remat's recompute of the Pallas forward, so the backward
-does strictly more work. This module is the integration point for a
-hand-written backward kernel (planned), which removes the twin
-recompute; until then prefer train.steps.make_free_train_step for
-training and models.fast_forward (2.4x faster) for inference.
+STATUS (measured, v5e): the backward now runs through the native
+Pallas backward kernel (kernels/vector_field_bwd.py, all 9 cotangents
+parity-tested vs the XLA vjp, including the attention-map cotangent from
+JaSMin). That lifted the fused step from 783 to ~912 img/s @ B=256, but
+the flax path still wins (~1,300 img/s) at these shapes: under remat the
+rk4 stage inputs force forward-kernel recomputes on top of the backward
+kernels, and the backward tile runs at 1/4 block to fit VMEM. Prefer
+train.steps.make_free_train_step for training today;
+models.fast_forward remains 3.5x faster for inference. Next levers:
+euler-fused training (fewer stage recomputes), chunked-hidden backward
+(bigger tiles).
 
 Constraints (asserted): softmax attention, no time conditioning, no
 dropout (the kernel is deterministic).
