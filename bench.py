@@ -71,7 +71,14 @@ def main():
     for batch in (1024, 2048):
         images = big[:batch]
         for name, fwd in paths.items():
-            jax.block_until_ready(fwd(params, images))   # compile/warmup
+            try:
+                jax.block_until_ready(fwd(params, images))  # compile/warmup
+            except Exception as e:                          # noqa: BLE001
+                # a cold Pallas compile cache or runtime quirk must never
+                # zero out the benchmark — fall through to other paths
+                print(f"# bench path {name} b={batch} failed: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
             t0 = time.perf_counter()
             # keep and block on EVERY output: under the tunneled runtime,
             # blocking only the last result has been observed to return

@@ -184,3 +184,59 @@ def test_gradient_accumulation():
             err_msg=f"params moved during accumulation at micro-step {i}")
     state, _ = step(state, batch, jax.random.PRNGKey(1))
     assert not np.array_equal(np.asarray(state.params["head"]["kernel"]), p0)
+
+
+def test_eval_step_fast_path_matches_flax():
+    from odevit_tpu.train.steps import make_eval_step
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    slow = make_eval_step(m)(v["params"], batch)
+    fast = make_eval_step(m, use_fast_path=True)(v["params"], batch)
+    for k in ("loss", "acc@1", "acc@3", "acc@5"):
+        np.testing.assert_allclose(float(fast[k]), float(slow[k]),
+                                   rtol=5e-3, atol=1e-3, err_msg=k)
+
+
+def test_preprocess_resize_inside_step():
+    """uint8 batch at native res, model at a larger res: the in-step
+    device-side resize path."""
+    from odevit_tpu.data.pipeline import make_preprocess
+    m = ViTODE(img_size=32, patch_size=8, embed_dim=24, num_heads=2,
+               mlp_ratio=2.0, num_classes=5, num_eval_steps=4,
+               solver="euler", register_tokens=0)
+    pre = make_preprocess(image_size=32)
+    rng = np.random.default_rng(0)
+    batch = {"pixel_values": jnp.asarray(rng.integers(
+                 0, 256, (4, 16, 16, 3)).astype(np.uint8)),
+             "labels": jnp.asarray(rng.integers(0, 5, 4))}
+    v = m.init(jax.random.PRNGKey(0), pre(batch["pixel_values"]))
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(v["params"]))
+    state = create_train_state(v["params"], tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, preprocess_fn=pre,
+                                donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_recover_roundtrip_with_distill_state(tmp_path):
+    """recover_training path: save a distill state, restore into a fresh
+    one, training resumes from the restored step."""
+    from odevit_tpu.ckpt.checkpoint import CheckpointManager
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    mask = freeze_paths(v["params"], GRAFT_FROZEN_PATHS)
+    tx = make_optimizer(1e-3, trainable_mask=mask)
+    state = create_train_state(v["params"], tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, donate=False)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    cm = CheckpointManager(str(tmp_path), "resume")
+    assert cm.save(state, metric=0.5)
+    fresh = create_train_state(v["params"], tx)
+    restored, meta = cm.restore(fresh)
+    assert int(restored.step) == 3 and meta["best_metric"] == 0.5
+    restored, metrics = step(restored, batch, jax.random.PRNGKey(9))
+    assert int(restored.step) == 4
+    assert np.isfinite(float(metrics["loss"]))
