@@ -123,10 +123,22 @@ class ViTODE(nn.Module):
                     aux["attn"] = attn
                 return aux
 
+        # JaSMin scores only the last int(0.85 T) evaluations
+        # (ode_transformer_gpt.py:615): when nothing else needs per-eval
+        # aux, skip the reduction for the leading steps entirely.
+        tail_steps = None
+        if want_jasmin and not want_traj:
+            from odevit_tpu.core.integrators import num_stages
+            stages = num_stages(self.solver)
+            window = max(1, min(int(0.85 * num_eval_steps),
+                                (num_eval_steps - 1) * stages))
+            tail_steps = -(-window // stages)
+
         states, eval_aux, last_attn = ode(
             tokens, ts, deterministic=deterministic,
             eval_aux_fn=eval_aux_fn, collect_states=need_states,
-            carry_attention=output_attentions)
+            carry_attention=output_attentions,
+            eval_aux_tail_steps=tail_steps)
 
         final = states[-1] if need_states else states
         cls_final = final[:, 0]

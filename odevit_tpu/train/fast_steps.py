@@ -56,18 +56,44 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
             block_b=block_b, use_pallas=use_pallas, n_real=n)
         return dx, jasmin_map_loss(attn, k=jasmin_k)
 
+    from odevit_tpu.core.integrators import num_stages
+    from odevit_tpu.kernels.vector_field import fused_vf_from_params
+
     step = make_step(model.solver, has_aux=True)
     ts = np.linspace(0.0, model.time_interval, model.num_eval_steps)
 
-    def body(y, t_dt):
-        t, dt = t_dt
-        y_next, jas_stages = step(f, y, t, dt)
-        return y_next, jas_stages
+    def f_plain(t, y):
+        dx = fused_vf_from_params(
+            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+            block_b=block_b, use_pallas=use_pallas, n_real=n)
+        return dx, jnp.zeros(())
 
-    if model.remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+    def body_of(fn):
+        def body(y, t_dt):
+            t, dt = t_dt
+            y_next, jas_stages = step(fn, y, t, dt)
+            return y_next, jas_stages
+        if model.remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        return body
+
+    # JaSMin scores only the last int(0.85 T) evaluations: run the head
+    # of the trajectory without any map emission / reduction at all.
+    stages = num_stages(model.solver)
+    num_steps = model.num_eval_steps - 1
+    window = max(1, min(int(0.85 * model.num_eval_steps),
+                        num_steps * stages))
+    tail = max(1, -(-window // stages))
+    head = num_steps - tail
+
     ts_j = jnp.asarray(ts, jnp.float32)
-    y_final, jas = jax.lax.scan(body, tokens, (ts_j[:-1], ts_j[1:] - ts_j[:-1]))
+    t_all, dt_all = ts_j[:-1], ts_j[1:] - ts_j[:-1]
+    y_mid = tokens
+    if head > 0:
+        y_mid, _ = jax.lax.scan(body_of(f_plain), tokens,
+                                (t_all[:head], dt_all[:head]))
+    y_final, jas = jax.lax.scan(body_of(f), y_mid,
+                                (t_all[head:], dt_all[head:]))
 
     cls_final = y_final[:, 0].astype(jnp.float32)
     logits = cls_final @ params["head"]["kernel"] + params["head"]["bias"]
