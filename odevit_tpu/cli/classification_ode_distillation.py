@@ -123,6 +123,7 @@ def main(cfg):
             jasmin_k=int(sd.get("jasmin_k", 10)),
             mse_full_path=bool(sd.get("mse_full_path", True)),
             use_distillation=bool(sd.get("use_distillation", True)),
+            use_kl_loss=bool(sd.get("use_kl_loss", False)),
             temperature=float(sd.get("temperature", 30.0)),
             lr_schedule=sched, preprocess_fn=preprocess)
 

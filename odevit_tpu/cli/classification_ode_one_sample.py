@@ -17,8 +17,9 @@ from odevit_tpu.data.pipeline import make_preprocess
 from odevit_tpu.losses.bounds import finite_difference_upper_bound
 from odevit_tpu.models.vit_ode import analytic_bound_from_variables
 from odevit_tpu.train.loops import evaluate
+from odevit_tpu.teacher.convert import GRAFT_FROZEN_PATHS
 from odevit_tpu.train.schedules import cosine_hard_restarts_with_warmup
-from odevit_tpu.train.state import (all_trainable, create_train_state,
+from odevit_tpu.train.state import (create_train_state, freeze_paths,
                                     make_optimizer)
 from odevit_tpu.train.steps import make_eval_step, make_one_sample_loss_step
 
@@ -43,8 +44,13 @@ def main(cfg):
     epochs = int(sd.epochs)
     sched = cosine_hard_restarts_with_warmup(1e-4, int(0.05 * epochs),
                                              epochs, max(1, epochs // 100))
+    # The one-sample variant freezes the grafted patch-proj/CLS/head AND
+    # the pos-embed (main_classification_ode_distillation_one_sample.py:
+    # 73-89) — unlike the full distillation run, where pos-embed stays
+    # trainable.
+    frozen = GRAFT_FROZEN_PATHS + (("patch_embed", "pos_embed"),)
     tx = make_optimizer(sched, weight_decay=5e-2, clip_norm=1.0,
-                        trainable_mask=all_trainable(params))
+                        trainable_mask=freeze_paths(params, frozen))
     state = create_train_state(params, tx)
 
     step = make_one_sample_loss_step(

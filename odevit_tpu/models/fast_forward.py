@@ -85,7 +85,9 @@ def fast_forward(model, params, images, *, block_b: int = 16,
                 block_b=block_b, use_pallas=use_pallas, n_real=n)
 
         states, _ = odeint_dopri5(f, tokens,
-                                  jnp.asarray([ts[0], ts[-1]]))
+                                  jnp.asarray([ts[0], ts[-1]]),
+                                  rtol=getattr(model, "solver_rtol", 1e-5),
+                                  atol=getattr(model, "solver_atol", 1e-6))
         y_final = states[-1]
     elif (model.solver == "euler" and use_pallas and uniform
           and not model.l2_attention):

@@ -56,6 +56,10 @@ class ViTODE(nn.Module):
     time_interval: float = 12.0
     num_eval_steps: int = 24
     solver: str = "rk4"
+    # dopri5 fast-path error control (fast_forward); ignored by the
+    # fixed-grid euler/rk4 solvers
+    solver_rtol: float = 1e-5
+    solver_atol: float = 1e-6
     add_distillation_token: bool = False
     l2_attention: bool = False
     register_tokens: int = 4

@@ -4,17 +4,15 @@ Runs each solver evaluation through the attention-emitting Pallas kernel
 (fused_vf_attn) with JaSMin folded per evaluation, inside a remat'd
 lax.scan; numerics match the flax step exactly (tested).
 
-STATUS (measured, v5e): the backward now runs through the native
-Pallas backward kernel (kernels/vector_field_bwd.py, all 9 cotangents
-parity-tested vs the XLA vjp, including the attention-map cotangent from
-JaSMin). That lifted the fused step from 783 to ~912 img/s @ B=256, but
-the flax path still wins (~1,300 img/s) at these shapes: under remat the
-rk4 stage inputs force forward-kernel recomputes on top of the backward
-kernels, and the backward tile runs at 1/4 block to fit VMEM. Prefer
-train.steps.make_free_train_step for training today;
-models.fast_forward remains 3.5x faster for inference. Next levers:
-euler-fused training (fewer stage recomputes), chunked-hidden backward
-(bigger tiles).
+STATUS (measured, v5e, authoritative record in ARCHITECTURE.md): with
+the native Pallas backward kernel (kernels/vector_field_bwd.py, all 9
+cotangents parity-tested vs the XLA vjp) plus the JaSMin tail-split,
+this fused step LEADS the flax path at production batch: 2,409 vs
+2,028 img/s @ B=1024 rk4x13 CIFAR (re-measured round 2). At small
+batch (B=256) the flax path can still win — the backward tile runs at
+1/4 block to fit VMEM and remat forces forward-kernel stage recomputes.
+Remaining levers: chunked-hidden backward (bigger tiles), euler-fused
+training (fewer stage recomputes).
 
 Constraints (asserted): softmax attention, no time conditioning, no
 dropout (the kernel is deterministic).

@@ -31,7 +31,8 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from odevit_tpu.losses.attention_distill import l1_attention_loss
+from odevit_tpu.losses.attention_distill import (kl_attention_loss,
+                                                 l1_attention_loss)
 from odevit_tpu.losses.classification import (cross_entropy, logit_kd_loss,
                                               topk_accuracies)
 from odevit_tpu.losses.trajectory import trajectory_mse, uniform_checkpoints, \
@@ -92,6 +93,7 @@ def make_distill_train_step(
     jasmin_k: int = 10,
     mse_full_path: bool = True,
     use_distillation: bool = True,
+    use_kl_loss: bool = False,
     temperature: float = 30.0,
     lr_schedule: Optional[Callable] = None,
     preprocess_fn: Optional[Callable] = None,
@@ -126,8 +128,16 @@ def make_distill_train_step(
             rep = mse
             metrics = {"mse_loss": mse, **mse_parts}
             if use_distillation:
-                kl = l1_attention_loss(s_out["attentions"], t_attn_last,
-                                       lambda_param=lambda_param)
+                # L1 by default; symmetrized-KL variant behind use_kl_loss
+                # (the reference implements it at loss_trainer.py:185-254
+                # but never wires a selector — exposed here via config)
+                if use_kl_loss:
+                    kl = kl_attention_loss(s_out["attentions"], t_attn_last,
+                                           lambda_param=lambda_param,
+                                           temperature=temperature)
+                else:
+                    kl = l1_attention_loss(s_out["attentions"], t_attn_last,
+                                           lambda_param=lambda_param)
                 ok = jnp.isfinite(kl)
                 rep = rep + jnp.where(ok, kl, 0.0)
                 metrics["kl_loss"] = kl
