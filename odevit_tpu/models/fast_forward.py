@@ -46,11 +46,15 @@ def fast_forward(model, params, images, *, block_b: int = 16,
     """logits = head(odeint(fused_vf, patch_embed(images)))[CLS].
 
     Args:
-      model: a ViTODE instance (config carrier).
+      model: a ViTODE or ViTMacaron instance (config carrier).
       params: its params pytree.
       images: [B, H, W, C] preprocessed floats.
     Returns {"logits": [B, num_classes]}.
     """
+    if hasattr(model, "learn_ivp"):           # ViTMacaron
+        return fast_forward_macaron(model, params, images,
+                                    block_b=block_b, use_pallas=use_pallas,
+                                    t_grid=t_grid)
     assert not model.time_conditioning, "autonomous field only"
 
     pe = _patch_embed_module(model)
@@ -115,5 +119,83 @@ def fast_forward(model, params, images, *, block_b: int = 16,
     if model.add_distillation_token and "dist_head" in params:
         out["logits_dist"] = (y_final[:, 1].astype(jnp.float32)
                               @ params["dist_head"]["kernel"]
+                              + params["dist_head"]["bias"])
+    return out
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, -1, keepdims=True)
+    c = x - mu
+    var = jnp.mean(c * c, -1, keepdims=True)
+    return c * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def fast_forward_macaron(model, params, images, *, block_b: int = 16,
+                         use_pallas: bool = True, t_grid=None):
+    """ViTMacaron inference through the fused Macaron kernel
+    (kernels/macaron.py). The embed (Dense patchify + optional learned
+    IVP + pos) and head (LayerNorm + Dense) replicate the flax model's
+    inline math; the integration loop runs the fused kernel."""
+    from odevit_tpu.kernels.macaron import fused_macaron_from_params
+    from odevit_tpu.ops.patch_embed import patchify
+
+    import numpy as np
+
+    dtype = model.dtype or images.dtype
+    d = model.embed_dim
+    patches = patchify(images.astype(dtype), model.patch_size)
+    x = patches @ params["patch_proj"]["kernel"].astype(dtype) \
+        + params["patch_proj"]["bias"]
+    b = x.shape[0]
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, d))
+    if model.learn_ivp:
+        ivp = jax.lax.conv_general_dilated(
+            images.astype(dtype), params["init_ivp"]["kernel"].astype(dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ivp = ivp + params["init_ivp"]["bias"]
+        ivp = jax.nn.gelu(ivp, approximate=False)
+        ivp = jnp.mean(ivp, axis=(1, 2))
+        ivp = jnp.concatenate([cls, ivp[:, None, :]], axis=-1)
+        cls = jax.nn.gelu(
+            ivp @ params["ivp_projector"]["kernel"].astype(dtype)
+            + params["ivp_projector"]["bias"], approximate=False)
+
+    parts = [cls]
+    if model.add_distillation_token:
+        parts.append(jnp.broadcast_to(params["dist_token"].astype(dtype),
+                                      (b, 1, d)))
+    parts.append(x)
+    tokens = jnp.concatenate(parts, axis=1)
+    tokens = tokens + params["pos_embed"].astype(dtype)
+    n = tokens.shape[1]
+
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    if n_pad != n:
+        tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    scaler = drift_scaler(model.emulate_depth, model.time_interval)
+    ts = (np.linspace(0.0, model.time_interval, model.num_eval_steps)
+          if t_grid is None else np.asarray(t_grid))
+
+    def f(t, y):
+        return fused_macaron_from_params(
+            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+            block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+    y_final, _ = odeint(f, tokens, ts, method=model.solver,
+                        return_states=False)
+
+    cls_final = _layer_norm(y_final[:, 0].astype(jnp.float32),
+                            params["norm_head"]["scale"],
+                            params["norm_head"]["bias"])
+    logits = cls_final @ params["head"]["kernel"] + params["head"]["bias"]
+    out = {"logits": logits}
+    if model.add_distillation_token and "dist_head" in params:
+        df = _layer_norm(y_final[:, 1].astype(jnp.float32),
+                         params["norm_dist"]["scale"],
+                         params["norm_dist"]["bias"])
+        out["logits_dist"] = (df @ params["dist_head"]["kernel"]
                               + params["dist_head"]["bias"])
     return out
