@@ -34,6 +34,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Dict
 
+import numpy as np
+
 
 def _interpret_default() -> bool:
     # Run the kernel in interpreter mode off-TPU (tests on the virtual
@@ -67,25 +69,157 @@ def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
+# Dropout mask sites (seed stream ids). Masks are seeded per
+# (base_seed, site, IMAGE index) — never per grid block — so the backward
+# kernel, which runs at a smaller batch tile, regenerates bit-identical
+# masks by re-seeding with the same tuples.
+DROP_SITE_H, DROP_SITE_MLP_OUT, DROP_SITE_ATTN_OUT, DROP_SITE_P = 0, 1, 2, 3
+
+
+def _keep_mask(rate: float, shape):
+    """Inverted-dropout keep mask (already scaled by 1/(1-rate)) from the
+    current Mosaic prng stream."""
+    bits = pltpu.prng_random_bits(shape)
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 0xFFFFFFFF))
+    keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+_SEED_GOLD = 0x9E3779B9  # folds the site id into the seed word: Mosaic's
+#                          prng_set_seed_32 accepts at most TWO values, so
+#                          the stream id is (seed + GOLD*(site+1), image)
+
+
+def _site_seed(seed, site: int):
+    mix = (_SEED_GOLD * (site + 1)) & 0xFFFFFFFF
+    return seed + jnp.int32(np.uint32(mix).astype(np.int32))
+
+
+def _mask_2d(rate: float, seed, site: int, img0, block_b: int,
+             n_pad: int, width: int):
+    """[block_b * n_pad, width] keep mask, seeded per image."""
+    s = _site_seed(seed, site)
+    parts = []
+    for bi in range(block_b):
+        pltpu.prng_seed(s, img0 + bi)
+        parts.append(_keep_mask(rate, (n_pad, width)))
+    return parts[0] if block_b == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _mask_p(rate: float, seed, head: int, img0, block_b: int, n_pad: int):
+    """[block_b, n_pad, n_pad] per-head attention-prob keep mask."""
+    s = _site_seed(seed, DROP_SITE_P + head)
+    parts = []
+    for bi in range(block_b):
+        pltpu.prng_seed(s, img0 + bi)
+        parts.append(_keep_mask(rate, (n_pad, n_pad)))
+    return jnp.stack(parts, axis=0)
+
+
+def _mask_gen_kernel(seed_ref, mh_ref, mmo_ref, mao_ref, mp_ref, *,
+                     attn_drop: float, proj_drop: float, mlp_drop: float,
+                     num_heads: int, block_b: int, n_pad: int):
+    """Standalone dropout-mask generator: reproduces exactly the masks the
+    fused forward kernel draws (same per-(site, image) seeding), so an
+    XLA backward can apply them when the fused backward kernel's weight
+    accumulators don't fit VMEM (d >= ~768)."""
+    seed = seed_ref[0]
+    img0 = pl.program_id(0) * block_b
+    dh = mh_ref.shape[-1]
+    d = mmo_ref.shape[-1]
+    if mlp_drop > 0.0:
+        mh_ref[:] = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
+                             n_pad, dh)
+        mmo_ref[:] = _mask_2d(mlp_drop, seed, DROP_SITE_MLP_OUT, img0,
+                              block_b, n_pad, d)
+    else:
+        mh_ref[:] = jnp.ones_like(mh_ref)
+        mmo_ref[:] = jnp.ones_like(mmo_ref)
+    if proj_drop > 0.0:
+        mao_ref[:] = _mask_2d(proj_drop, seed, DROP_SITE_ATTN_OUT, img0,
+                              block_b, n_pad, d)
+    else:
+        mao_ref[:] = jnp.ones_like(mao_ref)
+    if attn_drop > 0.0:
+        for hh in range(num_heads):
+            mp_ref[:, hh, :, :] = _mask_p(attn_drop, seed, hh, img0,
+                                          block_b, n_pad)
+    else:
+        mp_ref[:] = jnp.ones_like(mp_ref)
+
+
+def generate_dropout_masks(b, n, d, dh, num_heads, seed, *,
+                           attn_drop: float, proj_drop: float,
+                           mlp_drop: float, block_b: int = 4):
+    """The fused forward's dropout masks as explicit arrays
+    (mask_h [B,N,dh], mask_mo [B,N,D], mask_ao [B,N,D],
+    mask_p [B,H,N,N]; all 1/(1-rate)-scaled, sliced to real tokens)."""
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    while b % block_b:
+        block_b //= 2
+    block_b = max(block_b, 1)
+    rows = block_b * n_pad
+    kernel = functools.partial(
+        _mask_gen_kernel, attn_drop=attn_drop, proj_drop=proj_drop,
+        mlp_drop=mlp_drop, num_heads=num_heads, block_b=block_b,
+        n_pad=n_pad)
+    f32 = jnp.float32
+    mh, mmo, mao, mp = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        interpret=_interpret_default(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((rows, dh), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, num_heads, n_pad, n_pad),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * n_pad, dh), f32),
+            jax.ShapeDtypeStruct((b * n_pad, d), f32),
+            jax.ShapeDtypeStruct((b * n_pad, d), f32),
+            jax.ShapeDtypeStruct((b, num_heads, n_pad, n_pad), f32),
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    shape3 = lambda m, w: m.reshape(b, n_pad, w)[:, :n]
+    return (shape3(mh, dh), shape3(mmo, d), shape3(mao, d),
+            mp[:, :, :n, :n])
+
+
 def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                wqkv_ref, wout_ref, w1_ref, w2_ref,
                *refs,
                num_heads: int, scaler: float, n_real: int, block_b: int,
                euler_dt: float = 0.0, emit_attn: bool = False,
-               l2_attention: bool = False, has_bias: bool = False):
-    # ref order: [qkvb, outb (if has_bias)] (inputs), dx_ref,
-    #            [attn_ref (if emit_attn)] (outputs), ctx_scratch
+               l2_attention: bool = False, has_bias: bool = False,
+               attn_drop: float = 0.0, proj_drop: float = 0.0,
+               mlp_drop: float = 0.0, has_seed: bool = False,
+               emit_masks: bool = False):
+    # ref order: [seed (if has_seed)], [qkvb, outb (if has_bias)] (inputs),
+    #            dx_ref, [attn_ref (if emit_attn)],
+    #            [mask refs (if emit_masks)] (outputs), ctx_scratch
     refs = list(refs)
+    seed_ref = refs.pop(0) if has_seed else None
     qkv_bias = refs.pop(0)[0] if has_bias else None
     out_bias = refs.pop(0)[0] if has_bias else None
     dx_ref = refs.pop(0)
     attn_ref = refs.pop(0) if emit_attn else None
+    if emit_masks:
+        mh_ref, mmo_ref, mao_ref, mp_ref = refs[:4]
+        refs = refs[4:]
     ctx_scratch = refs[-1]
     rows, d = x_ref.shape                  # rows = block_b * n_pad
     n_pad = rows // block_b
     hd = d // num_heads
     qk_scale = hd ** -0.5
     dtype = x_ref.dtype
+    seed = seed_ref[0] if has_seed else None
+    img0 = pl.program_id(0) * block_b if has_seed else None
 
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -97,7 +231,19 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     # (weights arrive pre-cast to the compute dtype)
     h = jnp.dot(cn_m, w1_ref[:], preferred_element_type=jnp.float32)
     h = _gelu(h).astype(dtype)
+    if mlp_drop > 0.0:
+        mask_h = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
+                          n_pad, h.shape[-1])
+        h = (h.astype(jnp.float32) * mask_h).astype(dtype)
+        if emit_masks:
+            mh_ref[:] = mask_h
     mlp_o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    if mlp_drop > 0.0:
+        mask_mo = _mask_2d(mlp_drop, seed, DROP_SITE_MLP_OUT, img0,
+                           block_b, n_pad, d)
+        mlp_o = mlp_o * mask_mo
+        if emit_masks:
+            mmo_ref[:] = mask_mo
 
     qkv32 = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=jnp.float32)
     if qkv_bias is not None:
@@ -136,17 +282,29 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s) * key_mask
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        if emit_attn:
+            # returned maps are PRE-dropout (torch MHA convention)
+            attn_ref[:, hh, :, :] = p
+        if attn_drop > 0.0:
+            mask_p = _mask_p(attn_drop, seed, hh, img0, block_b, n_pad)
+            p = (p.astype(jnp.float32) * mask_p).astype(dtype)
+            if emit_masks:
+                mp_ref[:, hh, :, :] = mask_p
         ctx_h = jax.lax.dot_general(p, v, pdims,
                                     preferred_element_type=jnp.float32)
         ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = ctx_h.astype(dtype)
-        if emit_attn:
-            attn_ref[:, hh, :, :] = p
 
     attn_o = jnp.dot(ctx_scratch[:].reshape(block_b * n_pad, d),
                      wout_ref[:],
                      preferred_element_type=jnp.float32)
     if out_bias is not None:
         attn_o = attn_o + out_bias
+    if proj_drop > 0.0:
+        mask_ao = _mask_2d(proj_drop, seed, DROP_SITE_ATTN_OUT, img0,
+                           block_b, n_pad, d)
+        attn_o = attn_o * mask_ao
+        if emit_masks:
+            mao_ref[:] = mask_ao
     dx = (mlp_o + attn_o) * scaler
     if euler_dt:
         # fused Euler step: emit y + dt*f(y) directly — saves one
@@ -159,7 +317,10 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                     qkv_bias=None, out_bias=None, *,
                     num_heads: int, scaler: float, block_b: int,
                     n_real: int = 0, euler_dt: float = 0.0,
-                    emit_attn: bool = False, l2_attention: bool = False):
+                    emit_attn: bool = False, l2_attention: bool = False,
+                    seed=None, attn_drop: float = 0.0,
+                    proj_drop: float = 0.0, mlp_drop: float = 0.0,
+                    emit_masks: bool = False):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
@@ -171,6 +332,12 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     # at bf16; the f32 originals remain the custom-vjp residuals)
     wqkv, wout, w1, w2 = (w.astype(x.dtype) for w in (wqkv, wout, w1, w2))
 
+    has_drop = attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0
+    has_seed = seed is not None and has_drop
+    assert not (has_drop and not has_seed), \
+        "dropout in the fused kernel needs a seed"
+    assert not (emit_masks and not has_seed)
+
     rows = block_b * n_pad
     grid = (b // block_b,)
     has_bias = qkv_bias is not None
@@ -179,20 +346,40 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                                block_b=block_b, euler_dt=euler_dt,
                                emit_attn=emit_attn,
                                l2_attention=l2_attention,
-                               has_bias=has_bias)
+                               has_bias=has_bias,
+                               attn_drop=attn_drop if has_seed else 0.0,
+                               proj_drop=proj_drop if has_seed else 0.0,
+                               mlp_drop=mlp_drop if has_seed else 0.0,
+                               has_seed=has_seed, emit_masks=emit_masks)
     mat = lambda i: (0, 0)
 
-    out_specs = pl.BlockSpec((rows, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    out_shapes = jax.ShapeDtypeStruct((b * n_pad, d), x.dtype)
+    out_specs = [pl.BlockSpec((rows, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((b * n_pad, d), x.dtype)]
     if emit_attn:
-        out_specs = (out_specs,
-                     pl.BlockSpec((block_b, num_heads, n_pad, n_pad),
-                                  lambda i: (i, 0, 0, 0),
-                                  memory_space=pltpu.VMEM))
-        out_shapes = (out_shapes,
-                      jax.ShapeDtypeStruct(
-                          (b, num_heads, n_pad, n_pad), x.dtype))
+        out_specs.append(pl.BlockSpec((block_b, num_heads, n_pad, n_pad),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (b, num_heads, n_pad, n_pad), x.dtype))
+    if emit_masks:
+        out_specs += [
+            pl.BlockSpec((rows, dh), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, num_heads, n_pad, n_pad),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((b * n_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, n_pad, n_pad),
+                                 jnp.float32),
+        ]
 
     in_specs = [
         pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -207,6 +394,9 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     ]
     operands = [x2d, cna_s[None], cna_b[None], cnm_s[None], cnm_b[None],
                 wqkv, wout, w1, w2]
+    if has_seed:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(seed, jnp.int32).reshape(1))
     if has_bias:
         in_specs += [pl.BlockSpec((1, 3 * d), mat, memory_space=pltpu.VMEM),
                      pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)]
@@ -218,8 +408,9 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         grid=grid,
         interpret=_interpret_default(),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=(tuple(out_shapes) if len(out_shapes) > 1
+                   else out_shapes[0]),
         scratch_shapes=[
             pltpu.VMEM((block_b, n_pad, d), x.dtype),
         ],
@@ -228,25 +419,37 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         # measured on v5e, jax 0.9).
     )(*operands)
 
+    if not isinstance(out, (tuple, list)):
+        out = (out,)
+    out = list(out)
+    dx = out.pop(0).reshape(b, n_pad, d)[:, :n, :]
+    results = [dx]
     if emit_attn:
-        out, attn = out
-        out = out.reshape(b, n_pad, d)[:, :n, :]
         # padded QUERY rows carry garbage probabilities; slice to real
-        return out, attn[:, :, :n, :n]
-    out = out.reshape(b, n_pad, d)
-    return out[:, :n, :] if n_pad != n else out
+        results.append(out.pop(0)[:, :, :n, :n])
+    if emit_masks:
+        results.append(tuple(out))      # (mask_h, mask_mo, mask_ao, mask_p)
+    return results[0] if len(results) == 1 else tuple(results)
 
 
 def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                    qkv_bias=None, out_bias=None, *,
                    num_heads: int, scaler: float, n_real: int = 0,
-                   return_attn: bool = False, l2_attention: bool = False):
+                   return_attn: bool = False, l2_attention: bool = False,
+                   masks=None):
     """Pure-XLA twin of the kernel (same math/dtype policy); used for the
     custom-vjp backward and for numerics tests. ``n_real < n`` masks the
-    trailing (padded) tokens out of the attention keys."""
+    trailing (padded) tokens out of the attention keys. ``masks``
+    (mask_h [B,N,dh], mask_mo [B,N,D], mask_ao [B,N,D],
+    mask_p [B,H,N,N]; already 1/(1-rate)-scaled keep masks, or None per
+    entry) reproduce the fused kernel's dropout exactly — used by the
+    big-shape backward fallback."""
     b, n, d = x.shape
     hd = d // num_heads
     dtype = x.dtype
+    mask_h = mask_mo = mask_ao = mask_p = None
+    if masks is not None:
+        mask_h, mask_mo, mask_ao, mask_p = masks
     xf = x.astype(jnp.float32)
     cent = (xf - jnp.mean(xf, -1, keepdims=True)) * (d / (d - 1.0))
     cn_a = (cent * cna_s + cna_b).astype(dtype)
@@ -254,7 +457,11 @@ def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
 
     h = jnp.dot(cn_m, w1.astype(dtype), preferred_element_type=jnp.float32)
     h = jax.nn.gelu(h, approximate=False).astype(dtype)
+    if mask_h is not None:
+        h = (h.astype(jnp.float32) * mask_h).astype(dtype)
     mlp_o = jnp.dot(h, w2.astype(dtype), preferred_element_type=jnp.float32)
+    if mask_mo is not None:
+        mlp_o = mlp_o * mask_mo
 
     qkv = jnp.dot(cn_a, wqkv.astype(dtype),
                   preferred_element_type=jnp.float32)
@@ -287,16 +494,21 @@ def _xla_reference(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             key_mask = (jnp.arange(n) < n_real)
             s = jnp.where(key_mask[None, None, None, :], s, -1e30)
         p = jax.nn.softmax(s, axis=-1).astype(dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+    p_used = p
+    if mask_p is not None:
+        p_used = (p.astype(jnp.float32) * mask_p).astype(dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p_used, v,
                      preferred_element_type=jnp.float32)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d).astype(dtype)
     attn_o = jnp.dot(ctx, wout.astype(dtype),
                      preferred_element_type=jnp.float32)
     if out_bias is not None:
         attn_o = attn_o + out_bias
+    if mask_ao is not None:
+        attn_o = attn_o * mask_ao
     dx = ((mlp_o + attn_o) * scaler).astype(dtype)
     if return_attn:
-        return dx, p
+        return dx, p          # pre-dropout maps (kernel convention)
     return dx
 
 
@@ -342,11 +554,10 @@ def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
             vf_params["attn"]["qkv_kernel"], vf_params["attn"]["out_kernel"],
             vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"])
     if use_pallas:
-        b = x.shape[0]
-        bb = block_b
-        while b % bb:
-            bb //= 2
-        return fused_vf(*args, num_heads, scaler, max(bb, 1), n_real)
+        bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                          vf_params["mlp"]["fc1_kernel"].shape[-1],
+                          num_heads, requested=block_b)
+        return fused_vf(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real)
 
@@ -359,16 +570,15 @@ def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
     Inference-only (no custom_vjp; training integrates dx and lets the
     solver combine — the saved pass only matters on the serving path).
     """
-    b = y.shape[0]
-    bb = block_b
-    while b % bb:
-        bb //= 2
+    bb = auto_block_b(y.shape[0], y.shape[1], y.shape[2],
+                      vf_params["mlp"]["fc1_kernel"].shape[-1],
+                      num_heads, requested=block_b)
     return _pallas_forward(
         y, vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
         vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
         vf_params["attn"]["qkv_kernel"], vf_params["attn"]["out_kernel"],
         vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
-        num_heads=num_heads, scaler=scaler, block_b=max(bb, 1),
+        num_heads=num_heads, scaler=scaler, block_b=bb,
         n_real=n_real, euler_dt=dt)
 
 
@@ -411,13 +621,171 @@ def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
             vf_params["attn"]["qkv_kernel"], vf_params["attn"]["out_kernel"],
             vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"])
     if use_pallas:
-        b = x.shape[0]
-        bb = block_b
-        while b % bb:
-            bb //= 2
-        return fused_vf_attn(*args, num_heads, scaler, max(bb, 1), n_real)
+        bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                          vf_params["mlp"]["fc1_kernel"].shape[-1],
+                          num_heads, emit_attn=True, requested=block_b)
+        return fused_vf_attn(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, return_attn=True)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
+def fused_vf_dropout(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                     seed, num_heads: int, scaler: float, block_b: int,
+                     n_real: int, attn_drop: float, proj_drop: float,
+                     mlp_drop: float):
+    """fused_vf with in-kernel dropout (no attention-map output); see
+    fused_vf_attn_dropout for the mask/seed semantics."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real,
+                           seed=seed, attn_drop=attn_drop,
+                           proj_drop=proj_drop, mlp_drop=mlp_drop)
+
+
+def _fused_vf_dropout_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                          w1, w2, seed, num_heads, scaler, block_b,
+                          n_real, attn_drop, proj_drop, mlp_drop):
+    out = fused_vf_dropout(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, seed, num_heads, scaler, block_b,
+                           n_real, attn_drop, proj_drop, mlp_drop)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, seed)
+
+
+def _fused_vf_dropout_bwd(num_heads, scaler, block_b, n_real,
+                          attn_drop, proj_drop, mlp_drop, residuals, g):
+    import numpy as np
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, seed = residuals
+    bars = pallas_vf_bwd(*tensors, g, num_heads=num_heads, scaler=scaler,
+                         block_b=block_b, n_real=n_real, seed=seed,
+                         attn_drop=attn_drop, proj_drop=proj_drop,
+                         mlp_drop=mlp_drop)
+    seed_bar = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (*bars, seed_bar)
+
+
+fused_vf_dropout.defvjp(_fused_vf_dropout_fwd, _fused_vf_dropout_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
+def fused_vf_attn_dropout(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                          w1, w2, seed,
+                          num_heads: int, scaler: float, block_b: int,
+                          n_real: int, attn_drop: float, proj_drop: float,
+                          mlp_drop: float):
+    """Attention-emitting fused evaluation WITH in-kernel dropout
+    (inverted, torch semantics: probs after softmax, attn out after
+    Wout, MLP hidden after GELU, MLP out after fc2; emitted maps are
+    pre-dropout). ``seed`` is a traced int32 scalar; masks are seeded
+    per (seed, site, image) so the backward kernel — which runs at a
+    smaller batch tile — regenerates bit-identical masks. The rng
+    stream is pltpu.prng (hardware prng), deliberately NOT the flax
+    dropout stream: fixed-seed runs are reproducible against themselves,
+    not bit-equal to the flax path (documented semantics)."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real, emit_attn=True,
+                           seed=seed, attn_drop=attn_drop,
+                           proj_drop=proj_drop, mlp_drop=mlp_drop)
+
+
+def _fused_vf_attn_dropout_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                               w1, w2, seed, num_heads, scaler, block_b,
+                               n_real, attn_drop, proj_drop, mlp_drop):
+    out = fused_vf_attn_dropout(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                                w1, w2, seed, num_heads, scaler, block_b,
+                                n_real, attn_drop, proj_drop, mlp_drop)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, seed)
+
+
+def _fused_vf_attn_dropout_bwd(num_heads, scaler, block_b, n_real,
+                               attn_drop, proj_drop, mlp_drop,
+                               residuals, g):
+    import numpy as np
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, seed = residuals
+    g_dx, g_attn = g
+    bars = pallas_vf_bwd(*tensors, g_dx, g_attn, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real,
+                         seed=seed, attn_drop=attn_drop,
+                         proj_drop=proj_drop, mlp_drop=mlp_drop)
+    seed_bar = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (*bars, seed_bar)
+
+
+fused_vf_attn_dropout.defvjp(_fused_vf_attn_dropout_fwd,
+                             _fused_vf_attn_dropout_bwd)
+
+
+def _vf_args(x, vf_params):
+    return (x,
+            vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
+            vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
+            vf_params["attn"]["qkv_kernel"], vf_params["attn"]["out_kernel"],
+            vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"])
+
+
+VMEM_BUDGET = 13 * 1024 * 1024   # of the 16MB/core; headroom for Mosaic
+
+
+def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
+                 requested=16, bwd=False):
+    """Largest batch tile (halving from ``requested``, dividing ``b``)
+    whose estimated VMEM footprint fits. The estimate mirrors the
+    kernel's live set: activations/qkv/hidden at 2B + f32 attention
+    internals + the emitted maps; the backward roughly doubles the live
+    intermediates (cotangents alongside recomputes). CIFAR shapes keep
+    the historical tiles (16 fwd / 4 bwd); big ViT-Base shapes (N=208,
+    D=768) auto-shrink instead of OOMing Mosaic's scoped vmem."""
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    weights = (3 * d * d + d * d + 2 * d * dh) * 2
+    per_img = 16 * n_pad * d + 6 * n_pad * dh + 12 * n_pad * n_pad
+    if emit_attn:
+        per_img += num_heads * n_pad * n_pad * 2
+    if bwd:
+        per_img = 2 * per_img + 2 * 3 * n_pad * d    # qkv_bar scratch etc.
+        weights *= 2                                  # w + w_bar accums
+    bb = max(requested, 1)
+    while b % bb:
+        bb //= 2
+    while bb > 1 and weights + bb * per_img > VMEM_BUDGET:
+        bb //= 2
+    bb = max(bb, 1)
+    if bwd and weights + bb * per_img > VMEM_BUDGET:
+        return 0      # can't fit even one image: caller must fall back
+    return bb
+
+
+def _fit_block(b, block_b):
+    while b % block_b:
+        block_b //= 2
+    return max(block_b, 1)
+
+
+def fused_vf_dropout_from_params(x, vf_params, seed, *, num_heads: int,
+                                 scaler: float, drops, block_b: int = 16,
+                                 n_real: int = 0):
+    """Dropout fused evaluation from a params subtree.
+    ``drops`` = (attn_drop, proj_drop, mlp_drop)."""
+    bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                      vf_params["mlp"]["fc1_kernel"].shape[-1],
+                      num_heads, requested=block_b)
+    return fused_vf_dropout(*_vf_args(x, vf_params), seed, num_heads,
+                            scaler, bb, n_real, *drops)
+
+
+def fused_vf_attn_dropout_from_params(x, vf_params, seed, *,
+                                      num_heads: int, scaler: float,
+                                      drops, block_b: int = 16,
+                                      n_real: int = 0):
+    bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                      vf_params["mlp"]["fc1_kernel"].shape[-1],
+                      num_heads, emit_attn=True, requested=block_b)
+    return fused_vf_attn_dropout(*_vf_args(x, vf_params), seed, num_heads,
+                                 scaler, bb, n_real, *drops)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
@@ -472,10 +840,9 @@ def fused_vf_l2_from_params(x, vf_params, *, num_heads: int, scaler: float,
             vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
             qkv_bias, a["out_bias"])
     if use_pallas:
-        b = x.shape[0]
-        bb = block_b
-        while b % bb:
-            bb //= 2
-        return fused_vf_l2(*args, num_heads, scaler, max(bb, 1), n_real)
+        bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                          vf_params["mlp"]["fc1_kernel"].shape[-1],
+                          num_heads, requested=block_b)
+        return fused_vf_l2(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, l2_attention=True)

@@ -43,7 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from odevit_tpu.kernels.vector_field import (_gelu, _erf, TOKEN_PAD,
-                                             _interpret_default)
+                                             _interpret_default,
+                                             _mask_2d, _mask_p,
+                                             DROP_SITE_H, DROP_SITE_MLP_OUT,
+                                             DROP_SITE_ATTN_OUT)
 
 
 def _gelu_grad(x):
@@ -58,9 +61,12 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                    wqkv_ref, wout_ref, w1_ref, w2_ref, g_ref,
                    *refs,
                    num_heads: int, scaler: float, n_real: int,
-                   block_b: int, has_attn_bar: bool):
+                   block_b: int, has_attn_bar: bool,
+                   attn_drop: float = 0.0, proj_drop: float = 0.0,
+                   mlp_drop: float = 0.0, has_seed: bool = False):
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
+    seed_ref = refs.pop(0) if has_seed else None
     (xbar_ref, wqkvbar_ref, woutbar_ref, w1bar_ref, w2bar_ref,
      cnasbar_ref, cnabbar_ref, cnmsbar_ref, cnmbbar_ref) = refs[:9]
     ctx_scratch, qkvbar_scratch = refs[9:]
@@ -83,6 +89,9 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         cnmsbar_ref[:] = jnp.zeros_like(cnmsbar_ref)
         cnmbbar_ref[:] = jnp.zeros_like(cnmbbar_ref)
 
+    seed = seed_ref[0] if has_seed else None
+    img0 = pl.program_id(0) * block_b if has_seed else None
+
     # ---- recompute forward intermediates (all VMEM-resident) ----
     xf = x_ref[:].astype(f32)
     cent = (xf - jnp.mean(xf, axis=-1, keepdims=True)) * (d / (d - 1.0))
@@ -91,6 +100,12 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
 
     h1 = jnp.dot(cn_m, w1_ref[:], preferred_element_type=f32)
     h = _gelu(h1).astype(dtype)
+    mask_h = None
+    if mlp_drop > 0.0:
+        # regenerate the forward's dropout masks (same per-image seeds)
+        mask_h = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
+                          n_pad, h.shape[-1])
+        h = (h.astype(f32) * mask_h).astype(dtype)
     qkv = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32
                   ).astype(dtype).reshape(block_b, n_pad, 3 * d)
 
@@ -99,16 +114,23 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     bdims = (((2,), (2,)), ((0,), (0,)))      # contract last, batch TB
     pdims = (((2,), (1,)), ((0,), (0,)))      # [TB,N,N] x [TB,N,hd]
 
-    g = g_ref[:].astype(f32) * scaler          # mo_bar == ao_bar
-    gb = g.reshape(block_b, n_pad, d)
+    g = g_ref[:].astype(f32) * scaler          # mo_bar == ao_bar (no drop)
 
     # ---- MLP backward ----
-    gd = g.astype(dtype)
-    h_bar = jax.lax.dot_general(gd, w2_ref[:], (((1,), (1,)), ((), ())),
+    if mlp_drop > 0.0:
+        g_mo = g * _mask_2d(mlp_drop, seed, DROP_SITE_MLP_OUT, img0,
+                            block_b, n_pad, d)
+        gd_mlp = g_mo.astype(dtype)
+    else:
+        gd_mlp = g.astype(dtype)
+    h_bar = jax.lax.dot_general(gd_mlp, w2_ref[:],
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=f32)  # g @ W2^T
     w2bar_ref[:] += jax.lax.dot_general(
-        h, gd, (((0,), (0,)), ((), ())),
+        h, gd_mlp, (((0,), (0,)), ((), ())),
         preferred_element_type=f32)                          # h^T g
+    if mask_h is not None:
+        h_bar = h_bar * mask_h
     h1_bar = (h_bar * _gelu_grad(h1)).astype(dtype)
     m_bar = jax.lax.dot_general(h1_bar, w1_ref[:],
                                 (((1,), (1,)), ((), ())),
@@ -118,7 +140,13 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         preferred_element_type=f32)
 
     # ---- attention backward (per head, batched over the tile) ----
-    ctx_bar = jax.lax.dot_general(gd, wout_ref[:],
+    if proj_drop > 0.0:
+        g_ao = g * _mask_2d(proj_drop, seed, DROP_SITE_ATTN_OUT, img0,
+                            block_b, n_pad, d)
+        gd_attn = g_ao.astype(dtype)
+    else:
+        gd_attn = g.astype(dtype)
+    ctx_bar = jax.lax.dot_general(gd_attn, wout_ref[:],
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=f32
                                   ).reshape(block_b, n_pad, d)
@@ -131,19 +159,29 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s) * key_mask
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if attn_drop > 0.0:
+            mask_p = _mask_p(attn_drop, seed, hh, img0, block_b, n_pad)
+            p_used = (p * mask_p).astype(dtype)
+        else:
+            mask_p = None
+            p_used = p.astype(dtype)
 
         cb_h = ctx_bar[:, :, hh * hd:(hh + 1) * hd].astype(dtype)
         # recompute ctx_h for Wout_bar accumulation
         ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
-            p.astype(dtype), v, pdims,
+            p_used, v, pdims,
             preferred_element_type=f32).astype(dtype)
 
         p_bar = jax.lax.dot_general(cb_h, v, bdims,
                                     preferred_element_type=f32)
+        if mask_p is not None:
+            p_bar = p_bar * mask_p        # through the dropout multiply
         if has_attn_bar:
+            # the emitted maps are PRE-dropout: their cotangent adds to
+            # the pre-dropout p_bar directly
             p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
         v_bar = jax.lax.dot_general(
-            p.astype(dtype), cb_h,
+            p_used, cb_h,
             (((1,), (1,)), ((0,), (0,))),                 # p^T @ cb_h
             preferred_element_type=f32)
         s_bar = p * (p_bar - jnp.sum(p_bar * p, axis=-1, keepdims=True))
@@ -163,7 +201,8 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
 
     ctx2d = ctx_scratch[:].reshape(rows, d)
     woutbar_ref[:] += jax.lax.dot_general(
-        ctx2d, gd, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        ctx2d, gd_attn, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
 
     qkv_bar2d = qkvbar_scratch[:].reshape(rows, 3 * d)
     a_bar = jax.lax.dot_general(qkv_bar2d, wqkv_ref[:],
@@ -185,26 +224,65 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     xbar_ref[:] = x_bar.astype(xbar_ref.dtype)
 
 
+def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                      g_dx, g_attn, *, num_heads, scaler, n_real,
+                      seed, attn_drop, proj_drop, mlp_drop):
+    from odevit_tpu.kernels.vector_field import (_xla_reference,
+                                                 generate_dropout_masks)
+    b, n, d = x.shape
+    has_drop = (seed is not None
+                and (attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0))
+    masks = None
+    if has_drop:
+        masks = generate_dropout_masks(
+            b, n, d, w1.shape[-1], num_heads, seed,
+            attn_drop=attn_drop, proj_drop=proj_drop, mlp_drop=mlp_drop)
+
+    def f(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_, wout_, w1_, w2_):
+        return _xla_reference(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_,
+                              wout_, w1_, w2_, num_heads=num_heads,
+                              scaler=scaler, n_real=n_real,
+                              return_attn=g_attn is not None, masks=masks)
+
+    _, vjp = jax.vjp(f, x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
+    g = (g_dx, g_attn) if g_attn is not None else g_dx
+    return vjp(g)
+
+
 def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                   g_dx, g_attn=None, *, num_heads: int, scaler: float,
-                  block_b: int, n_real: int = 0):
+                  block_b: int, n_real: int = 0, seed=None,
+                  attn_drop: float = 0.0, proj_drop: float = 0.0,
+                  mlp_drop: float = 0.0):
     """Backward pass of the fused evaluation.
 
     Args mirror the forward; ``g_dx`` is the dx cotangent [B, N, D] and
-    ``g_attn`` the optional attention-map cotangent [B, H, N, N].
-    Returns cotangents for (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
-    w1, w2) in f32.
+    ``g_attn`` the optional attention-map cotangent [B, H, N, N]. With a
+    ``seed`` + nonzero drop rates, the forward's per-image dropout masks
+    are regenerated in-kernel (identical streams regardless of tile
+    size). Returns cotangents for (x, cna_s, cna_b, cnm_s, cnm_b, wqkv,
+    wout, w1, w2) in f32.
     """
+    from odevit_tpu.kernels.vector_field import auto_block_b
+
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
-    # the backward holds ~3x the forward's live intermediates (recompute
-    # + cotangents); run at a quarter of the forward tile to fit the
-    # 16MB VMEM budget
-    block_b = max(block_b // 4, 1)
-    while b % block_b:
-        block_b //= 2
-    block_b = max(block_b, 1)
+    # the backward holds ~2-3x the forward's live intermediates
+    # (recompute + cotangents); size the tile from the VMEM estimate
+    block_b = auto_block_b(b, n, d, dh, num_heads,
+                           emit_attn=g_attn is not None,
+                           requested=block_b, bwd=True)
+    if block_b == 0:
+        # Big-d shapes (ViT-Base: the f32 weight-grad accumulators alone
+        # exceed VMEM): backward through the XLA twin, which tiles weight
+        # grads freely. Dropout masks are regenerated bit-identically by
+        # the standalone Pallas mask kernel.
+        return _xla_bwd_fallback(
+            x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
+            g_attn, num_heads=num_heads, scaler=scaler, n_real=n_real,
+            seed=seed, attn_drop=attn_drop, proj_drop=proj_drop,
+            mlp_drop=mlp_drop)
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n), (0, 0))
@@ -218,13 +296,22 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     wqkv_c, wout_c, w1_c, w2_c = (w.astype(x.dtype)
                                   for w in (wqkv, wout, w1, w2))
 
+    has_drop = attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0
+    has_seed = seed is not None and has_drop
+    assert not (has_drop and not has_seed), \
+        "dropout in the fused backward needs the forward's seed"
+
     rows = block_b * n_pad
     grid = (b // block_b,)
     mat = lambda i: (0, 0)
     kernel = functools.partial(
         _vf_bwd_kernel, num_heads=num_heads, scaler=scaler,
         n_real=n_real, block_b=block_b,
-        has_attn_bar=g_attn is not None)
+        has_attn_bar=g_attn is not None,
+        attn_drop=attn_drop if has_seed else 0.0,
+        proj_drop=proj_drop if has_seed else 0.0,
+        mlp_drop=mlp_drop if has_seed else 0.0,
+        has_seed=has_seed)
 
     in_specs = [
         pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -245,6 +332,9 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             (block_b, num_heads, n_pad, n_pad),
             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
         operands.append(g_attn.astype(x.dtype))
+    if has_seed:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(seed, jnp.int32).reshape(1))
 
     f32 = jnp.float32
     out_specs = (

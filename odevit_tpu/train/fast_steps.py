@@ -14,8 +14,13 @@ batch (B=256) the flax path can still win — the backward tile runs at
 Remaining levers: chunked-hidden backward (bigger tiles), euler-fused
 training (fewer stage recomputes).
 
-Constraints (asserted): softmax attention, no time conditioning, no
-dropout (the kernel is deterministic).
+Constraints (asserted): softmax attention, no time conditioning.
+Dropout (attn/proj/mlp) IS supported: in-kernel pltpu hardware prng with
+per-(evaluation, site, image) seeding — see fused_vf_attn_dropout. The
+masks are reproducible at a fixed rng but are a different stream than
+the flax path's nn.Dropout (cross-path numerics tests therefore compare
+at drop=0, and dropout correctness is verified on-TPU against the XLA
+twin fed the kernels' emitted masks — benchmarks/tpu_dropout_check.py).
 """
 
 from __future__ import annotations
@@ -36,12 +41,59 @@ from odevit_tpu.models.vector_field import drift_scaler
 from odevit_tpu.train.steps import _accuracy, optax_global_norm
 
 
+def _xla_dropout_eval(y, vf_params, seed, *, num_heads, scaler, n_real,
+                      drops, want_attn):
+    """One vector-field evaluation with dropout as explicit XLA-side rbg
+    masks through the kernel's XLA twin. Used at shapes where the native
+    backward kernel (and hence the in-kernel pltpu dropout) cannot fit
+    VMEM (d >= ~768). rbg is the cheap hardware-friendly generator —
+    threefry mask generation at ViT-Base shapes costs more than the
+    matmuls it masks."""
+    from odevit_tpu.kernels.vector_field import _vf_args, _xla_reference
+    b, n, d = y.shape
+    dh = vf_params["mlp"]["fc1_kernel"].shape[-1]
+    attn_drop, proj_drop, mlp_drop = drops
+    key = jax.random.key(seed, impl="rbg")
+
+    def mask(site, shape, rate):
+        keep = jax.random.bernoulli(jax.random.fold_in(key, site),
+                                    1.0 - rate, shape)
+        return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+    masks = (
+        mask(0, (b, n, dh), mlp_drop) if mlp_drop > 0.0 else None,
+        mask(1, (b, n, d), mlp_drop) if mlp_drop > 0.0 else None,
+        mask(2, (b, n, d), proj_drop) if proj_drop > 0.0 else None,
+        mask(3, (b, num_heads, n, n), attn_drop)
+        if attn_drop > 0.0 else None,
+    )
+    return _xla_reference(*_vf_args(y, vf_params), num_heads=num_heads,
+                          scaler=scaler, n_real=n_real,
+                          return_attn=want_attn, masks=masks)
+
+
 def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
-                      use_pallas: bool = True, block_b: int = 16):
-    """CE + JaSMin forward through the fused kernel; returns (loss, aux)."""
+                      use_pallas: bool = True, block_b: int = 16,
+                      rng=None):
+    """CE + JaSMin forward through the fused kernel; returns (loss, aux).
+
+    With nonzero model drop rates and an ``rng``, runs the in-kernel
+    dropout variants (pltpu hardware prng; per-evaluation seeds derived
+    from ``rng``). The dropout stream is reproducible against itself at a
+    fixed rng but is NOT bit-equal to the flax path's nn.Dropout stream
+    (different generators — documented semantics). Without ``rng`` the
+    deterministic kernels run and drop rates must be zero.
+    """
     assert not model.l2_attention and not model.time_conditioning
-    assert model.attn_drop == model.proj_drop == model.mlp_drop == 0.0, \
-        "fused training path is deterministic (no dropout)"
+    drops = (float(model.attn_drop), float(model.proj_drop),
+             float(model.mlp_drop))
+    has_drop = any(d > 0.0 for d in drops) and rng is not None
+    if any(d > 0.0 for d in drops) and rng is None:
+        raise ValueError("model has dropout; pass rng= (or use the flax "
+                         "path for deterministic eval)")
+    if has_drop:
+        assert use_pallas, "in-kernel dropout requires the Pallas path"
+        assert model.solver in ("euler", "rk4"), model.solver
 
     pe = _patch_embed_module(model)
     tokens = pe.apply({"params": params["patch_embed"]}, pixels)
@@ -55,7 +107,9 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
         return dx, jasmin_map_loss(attn, k=jasmin_k)
 
     from odevit_tpu.core.integrators import num_stages
-    from odevit_tpu.kernels.vector_field import fused_vf_from_params
+    from odevit_tpu.kernels.vector_field import (
+        fused_vf_from_params, fused_vf_dropout_from_params,
+        fused_vf_attn_dropout_from_params)
 
     step = make_step(model.solver, has_aux=True)
     ts = np.linspace(0.0, model.time_interval, model.num_eval_steps)
@@ -66,10 +120,77 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
             block_b=block_b, use_pallas=use_pallas, n_real=n)
         return dx, jnp.zeros(())
 
+    # --- dropout variants: explicit per-stage seeds -------------------
+    # eval seed = step_seed + GOLD*(stage+1), GOLD = 0x9E3779B9 (int32
+    # wraparound is fine — prng_seed hashes its inputs; mix precomputed
+    # per stage in numpy to avoid int32-overflow warnings).
+    GOLD = [jnp.int32(np.uint32((0x9E3779B9 * k) & 0xFFFFFFFF)
+                      .astype(np.int32)) for k in range(1, 6)]
+
+    # shape-dependent dropout engine: the pltpu in-kernel prng needs the
+    # native backward kernel, whose f32 weight-grad accumulators only fit
+    # VMEM up to ~d=512; beyond that, dropout runs as XLA-side rbg masks
+    # through the kernel's XLA twin (same fused scan structure, fast
+    # hardware rng, differentiable end to end)
+    if has_drop:
+        from odevit_tpu.kernels.vector_field import auto_block_b
+        pltpu_drop = auto_block_b(
+            pixels.shape[0], n, model.embed_dim,
+            int(model.embed_dim * model.mlp_ratio), model.num_heads,
+            emit_attn=True, bwd=True) > 0
+
+    def vf_drop(y, eval_seed, with_jasmin):
+        if not pltpu_drop:
+            out = _xla_dropout_eval(
+                y, params["vf"], eval_seed, num_heads=model.num_heads,
+                scaler=scaler, n_real=n, drops=drops,
+                want_attn=with_jasmin)
+            if with_jasmin:
+                dx, attn = out
+                return dx, jasmin_map_loss(attn, k=jasmin_k)
+            return out, jnp.zeros(())
+        if with_jasmin:
+            dx, attn = fused_vf_attn_dropout_from_params(
+                y, params["vf"], eval_seed, num_heads=model.num_heads,
+                scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+            return dx, jasmin_map_loss(attn, k=jasmin_k)
+        dx = fused_vf_dropout_from_params(
+            y, params["vf"], eval_seed, num_heads=model.num_heads,
+            scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+        return dx, jnp.zeros(())
+
+    def step_drop(y, dt, seed_step, with_jasmin):
+        """One solver step with per-stage dropout seeds (euler / Kutta
+        3/8-rule rk4 — the same tableau as core.integrators)."""
+        es = lambda s: seed_step + GOLD[s]
+        ax = lambda a, c, k: (a + dt * c * k).astype(a.dtype)
+        if model.solver == "euler":
+            k1, j1 = vf_drop(y, es(0), with_jasmin)
+            return ax(y, 1.0, k1), jnp.stack([j1])
+        third = 1.0 / 3.0
+        k1, j1 = vf_drop(y, es(0), with_jasmin)
+        k2, j2 = vf_drop(ax(y, third, k1), es(1), with_jasmin)
+        k3, j3 = vf_drop((y + dt * (-third * k1 + k2)).astype(y.dtype),
+                         es(2), with_jasmin)
+        k4, j4 = vf_drop((y + dt * (k1 - k2 + k3)).astype(y.dtype),
+                         es(3), with_jasmin)
+        y_next = (y + dt * (0.125 * k1 + 0.375 * k2 + 0.375 * k3
+                            + 0.125 * k4)).astype(y.dtype)
+        return y_next, jnp.stack([j1, j2, j3, j4])
+
     def body_of(fn):
         def body(y, t_dt):
             t, dt = t_dt
             y_next, jas_stages = step(fn, y, t, dt)
+            return y_next, jas_stages
+        if model.remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        return body
+
+    def drop_body_of(with_jasmin):
+        def body(y, x):
+            dt, seed_step = x
+            y_next, jas_stages = step_drop(y, dt, seed_step, with_jasmin)
             return y_next, jas_stages
         if model.remat:
             body = jax.checkpoint(body, prevent_cse=False)
@@ -87,11 +208,23 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     ts_j = jnp.asarray(ts, jnp.float32)
     t_all, dt_all = ts_j[:-1], ts_j[1:] - ts_j[:-1]
     y_mid = tokens
-    if head > 0:
-        y_mid, _ = jax.lax.scan(body_of(f_plain), tokens,
-                                (t_all[:head], dt_all[:head]))
-    y_final, jas = jax.lax.scan(body_of(f), y_mid,
-                                (t_all[head:], dt_all[head:]))
+    if has_drop:
+        step_seeds = jax.random.randint(
+            rng, (num_steps,), jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        if head > 0:
+            y_mid, _ = jax.lax.scan(
+                drop_body_of(False), tokens,
+                (dt_all[:head], step_seeds[:head]))
+        y_final, jas = jax.lax.scan(
+            drop_body_of(True), y_mid,
+            (dt_all[head:], step_seeds[head:]))
+    else:
+        if head > 0:
+            y_mid, _ = jax.lax.scan(body_of(f_plain), tokens,
+                                    (t_all[:head], dt_all[:head]))
+        y_final, jas = jax.lax.scan(body_of(f), y_mid,
+                                    (t_all[head:], dt_all[head:]))
 
     cls_final = y_final[:, 0].astype(jnp.float32)
     logits = cls_final @ params["head"]["kernel"] + params["head"]["bias"]
@@ -101,6 +234,237 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                            "jasmin_loss": jas_loss}
 
 
+def fast_distill_forward(model, params, pixels, labels, t_states,
+                         t_attn_last, *, jasmin_k: int, temperature: float,
+                         lambda_param: float, mse_full_path: bool = True,
+                         use_distillation: bool = True,
+                         use_kl_loss: bool = False, supervise: bool = False,
+                         use_pallas: bool = True, block_b: int = 16,
+                         rng=None):
+    """Distillation-student forward through the fused kernel.
+
+    The TS hot loop (loss_trainer.py:305-371) at TS-Base shapes: the
+    student trajectory runs as segmented fused-kernel euler scans, the
+    control-point CLS states are collected at the (static) segment
+    boundaries — no [T, B, N, D] trajectory ever materializes in HBM,
+    unlike the flax path's output_control_points — JaSMin keeps its
+    tail-split, and the final evaluation emits the attention map for the
+    L1/KL attention loss. Returns (loss, metrics_aux).
+
+    ``t_states``: teacher hidden states [12, B, Nt, D] (layers 1..12,
+    stop-gradiented); ``t_attn_last``: teacher last-layer attention.
+    Dropout follows fast_free_forward's seed semantics (rng required
+    when the model has nonzero drop rates).
+    """
+    from odevit_tpu.kernels.vector_field import (
+        fused_vf_from_params, fused_vf_dropout_from_params,
+        fused_vf_attn_dropout_from_params)
+    from odevit_tpu.losses.attention_distill import (kl_attention_loss,
+                                                     l1_attention_loss)
+    from odevit_tpu.losses.control_points import \
+        proportional_control_points
+    from odevit_tpu.losses.trajectory import trajectory_mse
+
+    assert not model.l2_attention and not model.time_conditioning
+    assert model.solver == "euler", \
+        "fused distillation path integrates the reference's euler grid"
+    drops = (float(model.attn_drop), float(model.proj_drop),
+             float(model.mlp_drop))
+    has_drop = any(d > 0.0 for d in drops) and rng is not None
+    if any(d > 0.0 for d in drops) and rng is None:
+        raise ValueError("model has dropout; pass rng=")
+
+    pe = _patch_embed_module(model)
+    tokens = pe.apply({"params": params["patch_embed"]}, pixels)
+    n = tokens.shape[1]
+    reg = model.register_tokens
+    scaler = drift_scaler(model.emulate_depth, model.time_interval)
+    T = model.num_eval_steps
+    num_steps = T - 1
+    dt = float(model.time_interval) / num_steps
+
+    # in-kernel pltpu dropout only where the native backward fits VMEM;
+    # big-d shapes use XLA-side rbg masks through the twin (see
+    # _xla_dropout_eval)
+    pltpu_drop = False
+    if has_drop:
+        from odevit_tpu.kernels.vector_field import auto_block_b
+        pltpu_drop = auto_block_b(
+            pixels.shape[0], n, model.embed_dim,
+            int(model.embed_dim * model.mlp_ratio), model.num_heads,
+            emit_attn=True, bwd=True) > 0
+
+    # static plan: control-point boundaries + jasmin tail
+    cps = proportional_control_points(T, temperature)       # state indices
+    window = max(1, min(int(0.85 * T), num_steps))
+    tail_start = num_steps - window          # steps >= tail_start score
+    cp_set = set(int(i) for i in cps)
+
+    if has_drop:
+        step_seeds = jax.random.randint(
+            rng, (num_steps,), jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+    def eval_plain(y, seed):
+        if has_drop and not pltpu_drop:
+            return _xla_dropout_eval(
+                y, params["vf"], seed, num_heads=model.num_heads,
+                scaler=scaler, n_real=n, drops=drops, want_attn=False)
+        if has_drop:
+            return fused_vf_dropout_from_params(
+                y, params["vf"], seed, num_heads=model.num_heads,
+                scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+        return fused_vf_from_params(
+            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+            block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+    def eval_attn(y, seed):
+        if has_drop and not pltpu_drop:
+            return _xla_dropout_eval(
+                y, params["vf"], seed, num_heads=model.num_heads,
+                scaler=scaler, n_real=n, drops=drops, want_attn=True)
+        if has_drop:
+            return fused_vf_attn_dropout_from_params(
+                y, params["vf"], seed, num_heads=model.num_heads,
+                scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+        return fused_vf_attn_from_params(
+            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+            block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+    def body(with_jasmin):
+        def _body(y, seed):
+            if with_jasmin:
+                dx, attn = eval_attn(y, seed)
+                jas = jasmin_map_loss(attn, k=jasmin_k)
+            else:
+                dx = eval_plain(y, seed)
+                jas = jnp.zeros(())
+            return (y + dt * dx).astype(y.dtype), jas
+        if model.remat:
+            _body = jax.checkpoint(_body, prevent_cse=False)
+        return _body
+
+    # segment the step range at jasmin-tail entry and at control points;
+    # states[i] is reached after step i-1
+    breaks = sorted({0, num_steps, tail_start}
+                    | {i for i in cp_set if 0 < i <= num_steps})
+    segments = [(a, b) for a, b in zip(breaks[:-1], breaks[1:])]
+
+    y = tokens
+    state_at = {0: tokens}
+    jas_parts = []
+    for a, b_ in segments:
+        with_jasmin = a >= tail_start
+        is_last = b_ == num_steps
+        length = b_ - a - (1 if is_last else 0)
+        seeds = (step_seeds[a:a + length] if has_drop
+                 else jnp.zeros((length,), jnp.int32))
+        if length > 0:
+            y, jas = jax.lax.scan(body(with_jasmin), y, seeds)
+            if with_jasmin:
+                jas_parts.append(jas)
+        if is_last:
+            # final evaluation outside the scan: its attention map feeds
+            # the attention-distillation loss
+            seed_l = (step_seeds[num_steps - 1] if has_drop
+                      else jnp.zeros((), jnp.int32))
+            dx, last_attn = eval_attn(y, seed_l)
+            if num_steps - 1 >= tail_start:
+                jas_parts.append(
+                    jasmin_map_loss(last_attn, k=jasmin_k)[None])
+            y = (y + dt * dx).astype(y.dtype)
+        if b_ in cp_set:
+            state_at[b_] = y
+    state_at[num_steps] = y
+
+    cls_points = jnp.stack([state_at[int(i)][:, 0] for i in cps], axis=0)
+    jas_evals = jnp.concatenate(jas_parts)
+    jasmin = jasmin_trajectory_window(jas_evals, T)
+
+    cls_final = y[:, 0].astype(jnp.float32)
+    logits = cls_final @ params["head"]["kernel"] + params["head"]["bias"]
+
+    # losses (semantics of train.steps.make_distill_train_step)
+    mse, mse_parts = trajectory_mse(
+        cls_points[:, :, None, :], t_states[:, :, :1],
+        full_path=mse_full_path)
+    rep = mse
+    metrics = {"mse_loss": mse, **mse_parts}
+    if use_distillation:
+        s_attn = last_attn[:, :, :n - reg, :n - reg] if reg else last_attn
+        if use_kl_loss:
+            kl = kl_attention_loss(s_attn, t_attn_last,
+                                   lambda_param=lambda_param,
+                                   temperature=temperature)
+        else:
+            kl = l1_attention_loss(s_attn, t_attn_last,
+                                   lambda_param=lambda_param)
+        ok = jnp.isfinite(kl)
+        rep = rep + jnp.where(ok, kl, 0.0)
+        metrics["kl_loss"] = kl
+        metrics["kl_nonfinite"] = 1.0 - ok.astype(jnp.float32)
+    rep = rep * lambda_param
+
+    loss = rep + jasmin
+    ce = cross_entropy(logits, labels, label_smoothing=0.05)
+    if supervise:
+        loss = loss + ce
+    metrics.update({"jasmin_loss": jasmin, "supervision_loss": ce,
+                    "loss": loss})
+    return loss, {"metrics": metrics, "logits": logits}
+
+
+def make_fast_distill_train_step(
+        student, teacher, tx, *, lambda_param: float, jasmin_k: int = 10,
+        mse_full_path: bool = True, use_distillation: bool = True,
+        use_kl_loss: bool = False, temperature: float = 30.0,
+        lr_schedule: Optional[Callable] = None,
+        preprocess_fn: Optional[Callable] = None, use_pallas: bool = True,
+        block_b: int = 16, donate: bool = True):
+    """Fused-kernel drop-in for train.steps.make_distill_train_step (the
+    TS-Base hot loop). Teacher forward stays pure flax/XLA (a standard
+    ViT-B — already MXU-shaped); the student fwd+bwd runs through the
+    Pallas kernels."""
+
+    has_drop = any(float(d) > 0.0 for d in
+                   (student.attn_drop, student.proj_drop,
+                    student.mlp_drop))
+
+    def step(state, teacher_params, batch, rng, supervise: bool):
+        rng = jax.random.fold_in(rng, state.step)
+        pixels, labels = batch["pixel_values"], batch["labels"]
+        if preprocess_fn is not None:
+            pixels = preprocess_fn(pixels)
+
+        t_out = teacher.apply({"params": teacher_params}, pixels)
+        t_states = jax.lax.stop_gradient(t_out["hidden_states"][1:])
+        t_attn_last = jax.lax.stop_gradient(t_out["attentions"][-1])
+
+        def loss_fn(params):
+            return fast_distill_forward(
+                student, params, pixels, labels, t_states, t_attn_last,
+                jasmin_k=jasmin_k, temperature=temperature,
+                lambda_param=lambda_param, mse_full_path=mse_full_path,
+                use_distillation=use_distillation,
+                use_kl_loss=use_kl_loss, supervise=supervise,
+                use_pallas=use_pallas, block_b=block_b,
+                rng=rng if has_drop else None)
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, tx)
+        metrics = dict(aux["metrics"])
+        metrics["acc"] = _accuracy(aux["logits"], batch["labels"])
+        metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["nonfinite"] = 1.0 - jnp.isfinite(loss).astype(jnp.float32)
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return jax.jit(step, static_argnames=("supervise",),
+                   donate_argnums=(0,) if donate else ())
+
+
 def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                               lr_schedule: Optional[Callable] = None,
                               preprocess_fn: Optional[Callable] = None,
@@ -108,8 +472,12 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                               block_b: int = 16, donate: bool = True):
     """Drop-in fused alternative to make_free_train_step (deterministic)."""
 
+    has_drop = any(float(d) > 0.0 for d in
+                   (model.attn_drop, model.proj_drop, model.mlp_drop))
+
     def step(state, batch, rng):
-        del rng                                    # deterministic path
+        if has_drop:
+            rng = jax.random.fold_in(rng, state.step)
         pixels = (preprocess_fn(batch["pixel_values"]) if preprocess_fn
                   else batch["pixel_values"])
 
@@ -117,7 +485,8 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
             return fast_free_forward(model, params, pixels,
                                      batch["labels"], jasmin_k=jasmin_k,
                                      use_pallas=use_pallas,
-                                     block_b=block_b)
+                                     block_b=block_b,
+                                     rng=rng if has_drop else None)
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
