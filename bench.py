@@ -66,6 +66,55 @@ def main():
         for mname, m in models.items():
             paths[f"pallas-{mname}"] = make_fwd(m, True)
 
+    # --- compiled-kernel parity gate (VERDICT r1 item 3) ---------------
+    # The Mosaic-compiled kernels are the thing producing the headline
+    # number; assert on-chip agreement with the XLA path every bench run
+    # (interpret-mode tests can't catch TPU-lowering bugs). bf16 compute:
+    # gate on relative L2 over the logits and over the backward's
+    # parameter cotangents.
+    def rel_l2(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9))
+
+    parity_ok, parity = False, {}
+    try:
+        small = big[:256]
+        fwd_x = paths["xla-rk4x13"]
+        fwd_p = make_fwd(models["rk4x13"], True)
+        err_fwd = rel_l2(jax.device_get(fwd_p(params, small)),
+                         jax.device_get(fwd_x(params, small)))
+
+        # backward: CE-loss gradients through the fused kernel vjp vs the
+        # flax/XLA path, at the training configuration (euler grid)
+        from odevit_tpu.train.fast_steps import fast_free_forward
+        m_tr = make_model("rk4", 13)
+        labels = jnp.asarray(
+            np.random.default_rng(1).integers(0, 100, 256))
+
+        def loss_fused(p):
+            loss, _ = fast_free_forward(m_tr, p, preprocess(small),
+                                        labels, jasmin_k=10)
+            return loss
+
+        def loss_flax(p):
+            out = m_tr.apply({"params": p}, preprocess(small), labels,
+                             output_attentions=True, jasmin_k=10)
+            return out["loss"] + out["jasmin_loss"]
+
+        from jax.flatten_util import ravel_pytree
+        g_fused = jax.device_get(jax.jit(jax.grad(loss_fused))(params))
+        g_flax = jax.device_get(jax.jit(jax.grad(loss_flax))(params))
+        flat_f, _ = ravel_pytree(g_fused)
+        flat_x, _ = ravel_pytree(g_flax)
+        err_bwd = rel_l2(flat_f, flat_x)
+
+        parity = {"fwd_rel_l2": round(err_fwd, 5),
+                  "bwd_rel_l2": round(err_bwd, 5)}
+        parity_ok = err_fwd < 2e-2 and err_bwd < 3e-2
+    except Exception as e:                                # noqa: BLE001
+        parity = {"error": str(e)[:200]}
+
     best = None
     iters = 30
     for batch in (1024, 2048):
@@ -97,7 +146,9 @@ def main():
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 20000.0, 4),
+        "parity_ok": parity_ok,
         "details": {
+            "parity": parity,
             "batch": batch,
             "path": path,
             "per_rk_step_latency_ms": round(per_step_ms, 4),
