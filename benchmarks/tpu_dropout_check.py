@@ -146,6 +146,31 @@ def main():
         results[f"bwd_rel_err_{nm}"] = round(err, 7)
         assert err < 1e-4, (nm, err)
 
+    # --- 5. split-vs-combined backward (mask regeneration across both
+    # kernel decompositions and tile sizes must be bit-compatible) ----
+    from odevit_tpu.kernels import vector_field as VF
+    from odevit_tpu.kernels import vector_field_bwd as VB
+
+    g_dx = mk(b, n, d)
+    g_attn = mk(b, heads, n, n)
+    kw = dict(num_heads=heads, scaler=scaler, n_real=n, seed=seed,
+              attn_drop=drops[0], proj_drop=drops[1], mlp_drop=drops[2])
+    split = jax.jit(lambda *a: VB._pallas_vf_bwd_split(
+        *a[:10], a[10], (8, 128, 4), **kw))(*args, g_dx, g_attn)
+    orig_split, orig_auto = VB._split_tiles, VF.auto_block_b
+    VB._split_tiles = lambda *a, **k: None
+    VF.auto_block_b = lambda *a, **k: 2
+    try:
+        comb = jax.jit(lambda *a: VB.pallas_vf_bwd(
+            *a[:10], a[10], block_b=2, **kw))(*args, g_dx, g_attn)
+    finally:
+        VB._split_tiles, VF.auto_block_b = orig_split, orig_auto
+    for nm, a_, c_ in zip(names, split, comb):
+        scale = float(jnp.max(jnp.abs(c_))) + 1e-6
+        err = float(jnp.max(jnp.abs(a_ - c_))) / scale
+        results[f"split_rel_err_{nm}"] = round(err, 7)
+        assert err < 1e-4, (nm, err)
+
     # --- 4. determinism ----------------------------------------------
     dx2, attn2, masks2 = fwd(*args)
     assert bool((dx_k == dx2).all()) and bool((attn_k == attn2).all())

@@ -26,7 +26,8 @@ import time
 import numpy as np
 
 
-def bench_free(batch=256, jasmin=True, iters=10):
+def bench_free(batch=256, jasmin=True, iters=10, fused=False,
+               remat=True, drop=0.0):
     import jax
     import jax.numpy as jnp
     from odevit_tpu.models.vit_ode import ViTODE
@@ -35,6 +36,7 @@ def bench_free(batch=256, jasmin=True, iters=10):
     from odevit_tpu.train.state import (all_trainable, create_train_state,
                                         make_optimizer)
     from odevit_tpu.train.steps import make_free_train_step
+    from odevit_tpu.train.fast_steps import make_fast_free_train_step
 
     rng = np.random.default_rng(0)
     data = {"pixel_values": jax.device_put(rng.integers(
@@ -46,27 +48,58 @@ def bench_free(batch=256, jasmin=True, iters=10):
                mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
                time_interval=1.0, num_eval_steps=13, solver="rk4",
                register_tokens=4, pos_embed_register_tokens=False,
-               remat=True, dtype=jnp.bfloat16)
+               remat=remat, dtype=jnp.bfloat16,
+               attn_drop=drop, proj_drop=drop, mlp_drop=drop)
     p = init_on_cpu(m, jax.random.PRNGKey(0),
                     pre(data["pixel_values"][:2]))["params"]
     tx = make_optimizer(1e-4, trainable_mask=all_trainable(p))
     state = create_train_state(p, tx)
-    step = make_free_train_step(m, tx, use_jasmin=jasmin, jasmin_k=10,
-                                preprocess_fn=pre, donate=False)
+    if fused:
+        assert jasmin, "fused path always folds JaSMin"
+        step = make_fast_free_train_step(m, tx, jasmin_k=10,
+                                         preprocess_fn=pre, donate=False)
+    else:
+        step = make_free_train_step(m, tx, use_jasmin=jasmin, jasmin_k=10,
+                                    preprocess_fn=pre, donate=False)
     state, mm = step(state, data, jax.random.PRNGKey(1))
     jax.block_until_ready(mm["loss"])
-    t0 = time.perf_counter()
-    outs = []
+    best = float("inf")
     for _ in range(iters):
+        # per-iter timing, report the best: the tunneled runtime's
+        # dispatch stalls inflate means by up to 10x (see module note)
+        t0 = time.perf_counter()
         state, mm = step(state, data, jax.random.PRNGKey(1))
-        outs.append(mm["loss"])
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(mm["loss"])
+        best = min(best, time.perf_counter() - t0)
     return {"mode": "free_train", "batch": batch, "jasmin": jasmin,
-            "step_ms": round(dt * 1e3, 1),
-            "images_per_sec": round(batch / dt, 1), "nfe": 48}
+            "fused": fused, "remat": remat, "drop": drop,
+            "step_ms": round(best * 1e3, 1),
+            "images_per_sec": round(batch / best, 1), "nfe": 48}
 
 
 if __name__ == "__main__":
-    for jasmin in (True, False):
-        print(json.dumps(bench_free(jasmin=jasmin)))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--compare", action="store_true",
+                    help="flax vs fused at the given batch")
+    ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--drop", type=float, default=0.0)
+    a = ap.parse_args()
+    if a.compare:
+        for fused in (False, True):
+            print(json.dumps(bench_free(
+                batch=a.batch, iters=a.iters, fused=fused,
+                remat=not a.no_remat, drop=a.drop)))
+    elif a.fused:
+        print(json.dumps(bench_free(batch=a.batch, iters=a.iters,
+                                    fused=True, remat=not a.no_remat,
+                                    drop=a.drop)))
+    else:
+        for jasmin in (True, False):
+            print(json.dumps(bench_free(batch=a.batch, iters=a.iters,
+                                        jasmin=jasmin,
+                                        remat=not a.no_remat,
+                                        drop=a.drop)))

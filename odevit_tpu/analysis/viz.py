@@ -5,7 +5,18 @@ Image grids, animated GIFs, 3D trajectory plots (single and
 teacher-vs-student), attention-evolution video export. matplotlib Agg +
 imageio — no ffmpeg dependency required (imageio falls back to GIF when
 no mp4 codec is present).
-"""
+
+PROVENANCE: the four plot helpers below (upscale_image,
+create_image_grid, create_animated_gif, plot_3d_trajectory /
+plot_merged_3d_trajectories) deliberately MIRROR the reference's
+matplotlib code (utils.py:51-158) including its arbitrary style
+constants (grid cols=7, bicubic scale=16, figsizes, fontsizes), so the
+figures this framework emits are visually comparable 1:1 with the
+paper's artifacts. This is host-side matplotlib with no TPU dimension —
+there is nothing to re-design; treat these functions as a styled
+re-statement of the reference plots, not original work. attention_video
+and _render_heat_frame below are original (the reference's producing
+notebook cell used an FFMpegWriter pipeline)."""
 
 from __future__ import annotations
 

@@ -224,6 +224,194 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     xbar_ref[:] = x_bar.astype(xbar_ref.dtype)
 
 
+def _mlp_bwd_kernel(x_ref, cnm_s_ref, cnm_b_ref, w1_ref, w2_ref, g_ref,
+                    *refs, scaler: float, block_b: int, dh_chunk: int,
+                    mlp_drop: float = 0.0, has_seed: bool = False):
+    """MLP-branch backward only (split-kernel path): recomputes cn_m and
+    the hidden in column chunks of ``dh_chunk`` so the [rows, dh] f32
+    intermediates never live whole — the chunk is the only hidden-width
+    buffer resident, which is what lets this kernel run at a 2-4x larger
+    batch tile than the combined kernel. Emits the MLP contribution to
+    x_bar (exact: CenterNorm's backward is linear, so the attention
+    kernel's contribution adds outside)."""
+    refs = list(refs)
+    seed_ref = refs.pop(0) if has_seed else None
+    xbar_ref, w1bar_ref, w2bar_ref, cnmsbar_ref, cnmbbar_ref = refs
+
+    rows, d = x_ref.shape
+    n_pad = rows // block_b
+    dh = w1_ref.shape[-1]
+    dtype = x_ref.dtype
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        w1bar_ref[:] = jnp.zeros_like(w1bar_ref)
+        w2bar_ref[:] = jnp.zeros_like(w2bar_ref)
+        cnmsbar_ref[:] = jnp.zeros_like(cnmsbar_ref)
+        cnmbbar_ref[:] = jnp.zeros_like(cnmbbar_ref)
+
+    seed = seed_ref[0] if has_seed else None
+    img0 = pl.program_id(0) * block_b if has_seed else None
+
+    xf = x_ref[:].astype(f32)
+    cent = (xf - jnp.mean(xf, axis=-1, keepdims=True)) * (d / (d - 1.0))
+    cn_m = (cent * cnm_s_ref[0] + cnm_b_ref[0]).astype(dtype)
+
+    g = g_ref[:].astype(f32) * scaler
+    if mlp_drop > 0.0:
+        mask_h = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
+                          n_pad, dh)
+        g = g * _mask_2d(mlp_drop, seed, DROP_SITE_MLP_OUT, img0,
+                         block_b, n_pad, d)
+    else:
+        mask_h = None
+    gd = g.astype(dtype)
+
+    m_bar = jnp.zeros((rows, d), f32)
+    for c0 in range(0, dh, dh_chunk):
+        cols = slice(c0, c0 + dh_chunk)
+        h1_c = jnp.dot(cn_m, w1_ref[:, cols], preferred_element_type=f32)
+        h_c = _gelu(h1_c)
+        if mask_h is not None:
+            h_c = h_c * mask_h[:, cols]
+        w2bar_ref[cols, :] += jax.lax.dot_general(
+            h_c.astype(dtype), gd, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                   # h^T g
+        h_bar_c = jax.lax.dot_general(gd, w2_ref[cols, :],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+        if mask_h is not None:
+            h_bar_c = h_bar_c * mask_h[:, cols]
+        h1_bar_c = (h_bar_c * _gelu_grad(h1_c)).astype(dtype)
+        m_bar += jax.lax.dot_general(h1_bar_c, w1_ref[:, cols],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+        w1bar_ref[:, cols] += jax.lax.dot_general(
+            cn_m, h1_bar_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    cnmsbar_ref[:] += jnp.sum(m_bar * cent, axis=0, keepdims=True)
+    cnmbbar_ref[:] += jnp.sum(m_bar, axis=0, keepdims=True)
+    c_bar = m_bar * cnm_s_ref[0]
+    xbar_ref[:] = (d / (d - 1.0)) * (
+        c_bar - jnp.mean(c_bar, axis=-1, keepdims=True))
+
+
+def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
+                     g_ref, *refs, num_heads: int, scaler: float,
+                     n_real: int, block_b: int, has_attn_bar: bool,
+                     attn_drop: float = 0.0, proj_drop: float = 0.0,
+                     has_seed: bool = False):
+    """Attention-branch backward only (split-kernel path); same math as
+    the attention half of _vf_bwd_kernel."""
+    refs = list(refs)
+    gattn_ref = refs.pop(0) if has_attn_bar else None
+    seed_ref = refs.pop(0) if has_seed else None
+    (xbar_ref, wqkvbar_ref, woutbar_ref, cnasbar_ref, cnabbar_ref) = refs[:5]
+    ctx_scratch, qkvbar_scratch = refs[5:]
+
+    rows, d = x_ref.shape
+    n_pad = rows // block_b
+    hd = d // num_heads
+    tau = hd ** -0.5
+    dtype = x_ref.dtype
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        wqkvbar_ref[:] = jnp.zeros_like(wqkvbar_ref)
+        woutbar_ref[:] = jnp.zeros_like(woutbar_ref)
+        cnasbar_ref[:] = jnp.zeros_like(cnasbar_ref)
+        cnabbar_ref[:] = jnp.zeros_like(cnabbar_ref)
+
+    seed = seed_ref[0] if has_seed else None
+    img0 = pl.program_id(0) * block_b if has_seed else None
+
+    xf = x_ref[:].astype(f32)
+    cent = (xf - jnp.mean(xf, axis=-1, keepdims=True)) * (d / (d - 1.0))
+    cn_a = (cent * cna_s_ref[0] + cna_b_ref[0]).astype(dtype)
+    qkv = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32
+                  ).astype(dtype).reshape(block_b, n_pad, 3 * d)
+
+    key_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+                < n_real).astype(f32)[None]
+    bdims = (((2,), (2,)), ((0,), (0,)))
+    pdims = (((2,), (1,)), ((0,), (0,)))
+
+    g = g_ref[:].astype(f32) * scaler
+    if proj_drop > 0.0:
+        g = g * _mask_2d(proj_drop, seed, DROP_SITE_ATTN_OUT, img0,
+                         block_b, n_pad, d)
+    gd_attn = g.astype(dtype)
+    ctx_bar = jax.lax.dot_general(gd_attn, wout_ref[:],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32
+                                  ).reshape(block_b, n_pad, d)
+    for hh in range(num_heads):
+        q = qkv[:, :, hh * hd:(hh + 1) * hd].astype(f32)
+        k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(f32)
+        v = qkv[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
+        s = jax.lax.dot_general(q * tau, k, bdims,
+                                preferred_element_type=f32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s) * key_mask
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if attn_drop > 0.0:
+            mask_p = _mask_p(attn_drop, seed, hh, img0, block_b, n_pad)
+            p_used = (p * mask_p).astype(dtype)
+        else:
+            mask_p = None
+            p_used = p.astype(dtype)
+
+        cb_h = ctx_bar[:, :, hh * hd:(hh + 1) * hd].astype(dtype)
+        ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
+            p_used, v, pdims, preferred_element_type=f32).astype(dtype)
+
+        p_bar = jax.lax.dot_general(cb_h, v, bdims,
+                                    preferred_element_type=f32)
+        if mask_p is not None:
+            p_bar = p_bar * mask_p
+        if has_attn_bar:
+            p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
+        v_bar = jax.lax.dot_general(
+            p_used, cb_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)
+        s_bar = p * (p_bar - jnp.sum(p_bar * p, axis=-1, keepdims=True))
+        s_bar = (s_bar * key_mask).astype(dtype)
+        q_bar = jax.lax.dot_general(
+            s_bar, k.astype(dtype), pdims,
+            preferred_element_type=f32) * tau
+        k_bar = jax.lax.dot_general(
+            s_bar, (q * tau).astype(dtype),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)
+        qkvbar_scratch[:, :, hh * hd:(hh + 1) * hd] = q_bar.astype(dtype)
+        qkvbar_scratch[:, :, d + hh * hd:d + (hh + 1) * hd] = \
+            k_bar.astype(dtype)
+        qkvbar_scratch[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd] = \
+            v_bar.astype(dtype)
+
+    ctx2d = ctx_scratch[:].reshape(rows, d)
+    woutbar_ref[:] += jax.lax.dot_general(
+        ctx2d, gd_attn, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+
+    qkv_bar2d = qkvbar_scratch[:].reshape(rows, 3 * d)
+    a_bar = jax.lax.dot_general(qkv_bar2d, wqkv_ref[:],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+    wqkvbar_ref[:] += jax.lax.dot_general(
+        cn_a, qkv_bar2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+
+    cnasbar_ref[:] += jnp.sum(a_bar * cent, axis=0, keepdims=True)
+    cnabbar_ref[:] += jnp.sum(a_bar, axis=0, keepdims=True)
+    c_bar = a_bar * cna_s_ref[0]
+    xbar_ref[:] = (d / (d - 1.0)) * (
+        c_bar - jnp.mean(c_bar, axis=-1, keepdims=True))
+
+
 def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                       g_dx, g_attn, *, num_heads, scaler, n_real,
                       seed, attn_drop, proj_drop, mlp_drop):
@@ -249,6 +437,169 @@ def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     return vjp(g)
 
 
+def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
+                 has_drop: bool, requested: int = 16):
+    """(mlp_block_b, dh_chunk, attn_block_b) for the split backward, or
+    None when even 1-image tiles don't fit. Estimates mirror each
+    kernel's live set (see kernel docstrings)."""
+    from odevit_tpu.kernels.vector_field import TOKEN_PAD, VMEM_BUDGET
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+
+    # ---- MLP kernel: batch tile x hidden chunk ----
+    w_mlp = 12 * d * dh
+    base = 24 * n_pad * d + (4 * n_pad * dh + 4 * n_pad * d
+                             if has_drop else 0)
+    chunks = [c for c in (dh, 1024, 768, 512, 384, 256, 128)
+              if c <= dh and dh % c == 0]
+    mlp_bb = dh_chunk = 0
+    for bb in _halvings(b, requested):
+        for c in chunks:
+            if w_mlp + bb * (base + 12 * n_pad * c) <= VMEM_BUDGET:
+                mlp_bb, dh_chunk = bb, c
+                break
+        if mlp_bb:
+            break
+
+    # ---- attention kernel ----
+    w_attn = 24 * d * d
+    per = 54 * n_pad * d + 28 * n_pad * n_pad
+    if has_attn_bar:
+        per += 2 * num_heads * n_pad * n_pad
+    if has_drop:
+        per += 4 * n_pad * n_pad
+    attn_bb = 0
+    for bb in _halvings(b, requested):
+        if w_attn + bb * per <= VMEM_BUDGET:
+            attn_bb = bb
+            break
+    if not (mlp_bb and attn_bb):
+        return None
+    return mlp_bb, dh_chunk, attn_bb
+
+
+def _halvings(b, requested):
+    bb = max(requested, 1)
+    while b % bb:
+        bb //= 2
+    while bb >= 1:
+        yield bb
+        bb //= 2
+
+
+def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
+                         w2, g_dx, g_attn, tiles, *, num_heads: int,
+                         scaler: float, n_real: int, seed=None,
+                         attn_drop: float = 0.0, proj_drop: float = 0.0,
+                         mlp_drop: float = 0.0):
+    """Split-kernel backward: one MLP-branch kernel + one attention-branch
+    kernel, each at its own (larger) batch tile; x_bar contributions add
+    exactly (CenterNorm backward is linear in the branch cotangents)."""
+    from odevit_tpu.kernels.vector_field import TOKEN_PAD
+    mlp_bb, dh_chunk, attn_bb = tiles
+    b, n, d = x.shape
+    dh = w1.shape[-1]
+    f32 = jnp.float32
+
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        x = jnp.pad(x, pad)
+        g_dx = jnp.pad(g_dx, pad)
+        if g_attn is not None:
+            g_attn = jnp.pad(g_attn, ((0, 0), (0, 0), (0, n_pad - n),
+                                      (0, n_pad - n)))
+    x2d = x.reshape(b * n_pad, d)
+    g2d = g_dx.reshape(b * n_pad, d).astype(x.dtype)
+    wqkv_c, wout_c, w1_c, w2_c = (w.astype(x.dtype)
+                                  for w in (wqkv, wout, w1, w2))
+    has_seed = seed is not None and (attn_drop > 0.0 or proj_drop > 0.0
+                                     or mlp_drop > 0.0)
+    seed_op = (jnp.asarray(seed, jnp.int32).reshape(1) if has_seed
+               else None)
+    mat = lambda i: (0, 0)
+    row_spec = lambda rows: pl.BlockSpec((rows, d), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)
+
+    # ---- MLP branch ----
+    rows_m = mlp_bb * n_pad
+    mlp_kernel = functools.partial(
+        _mlp_bwd_kernel, scaler=scaler, block_b=mlp_bb,
+        dh_chunk=dh_chunk,
+        mlp_drop=mlp_drop if has_seed else 0.0, has_seed=has_seed)
+    in_specs = [row_spec(rows_m), vec, vec,
+                pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+                pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+                row_spec(rows_m)]
+    operands = [x2d, cnm_s[None], cnm_b[None], w1_c, w2_c, g2d]
+    if has_seed:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed_op)
+    mlp_outs = pl.pallas_call(
+        mlp_kernel,
+        grid=(b // mlp_bb,),
+        interpret=_interpret_default(),
+        in_specs=in_specs,
+        out_specs=(row_spec(rows_m),
+                   pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+                   vec, vec),
+        out_shape=(jax.ShapeDtypeStruct((b * n_pad, d), f32),
+                   jax.ShapeDtypeStruct((d, dh), f32),
+                   jax.ShapeDtypeStruct((dh, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+    )(*operands)
+    xbar_m, w1_bar, w2_bar, cnms_bar, cnmb_bar = mlp_outs
+
+    # ---- attention branch ----
+    rows_a = attn_bb * n_pad
+    attn_kernel = functools.partial(
+        _attn_bwd_kernel, num_heads=num_heads, scaler=scaler,
+        n_real=n_real, block_b=attn_bb,
+        has_attn_bar=g_attn is not None,
+        attn_drop=attn_drop if has_seed else 0.0,
+        proj_drop=proj_drop if has_seed else 0.0, has_seed=has_seed)
+    in_specs = [row_spec(rows_a), vec, vec,
+                pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+                row_spec(rows_a)]
+    operands = [x2d, cna_s[None], cna_b[None], wqkv_c, wout_c, g2d]
+    if g_attn is not None:
+        in_specs.append(pl.BlockSpec(
+            (attn_bb, num_heads, n_pad, n_pad),
+            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
+        operands.append(g_attn.astype(x.dtype))
+    if has_seed:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed_op)
+    attn_outs = pl.pallas_call(
+        attn_kernel,
+        grid=(b // attn_bb,),
+        interpret=_interpret_default(),
+        in_specs=in_specs,
+        out_specs=(row_spec(rows_a),
+                   pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+                   vec, vec),
+        out_shape=(jax.ShapeDtypeStruct((b * n_pad, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+        scratch_shapes=[
+            pltpu.VMEM((attn_bb, n_pad, d), x.dtype),
+            pltpu.VMEM((attn_bb, n_pad, 3 * d), x.dtype),
+        ],
+    )(*operands)
+    xbar_a, wqkv_bar, wout_bar, cnas_bar, cnab_bar = attn_outs
+
+    x_bar = ((xbar_m + xbar_a).reshape(b, n_pad, d)[:, :n, :]
+             .astype(x.dtype))
+    return (x_bar, cnas_bar[0], cnab_bar[0], cnms_bar[0], cnmb_bar[0],
+            wqkv_bar, wout_bar, w1_bar, w2_bar)
+
+
 def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                   g_dx, g_attn=None, *, num_heads: int, scaler: float,
                   block_b: int, n_real: int = 0, seed=None,
@@ -262,17 +613,35 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     are regenerated in-kernel (identical streams regardless of tile
     size). Returns cotangents for (x, cna_s, cna_b, cnm_s, cnm_b, wqkv,
     wout, w1, w2) in f32.
+
+    Dispatch: prefers the SPLIT path (one MLP-branch kernel with a
+    chunked hidden + one attention-branch kernel) whenever it fits a
+    strictly larger batch tile than the combined kernel — at CIFAR
+    shapes that is 16/16 vs the combined kernel's 4. Falls back to the
+    combined kernel at equal tiles, and to the XLA-twin vjp when neither
+    fits (ViT-Base: the f32 weight-grad accumulators alone exceed VMEM).
     """
     from odevit_tpu.kernels.vector_field import auto_block_b
 
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
+    has_drop = attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0
     # the backward holds ~2-3x the forward's live intermediates
     # (recompute + cotangents); size the tile from the VMEM estimate
-    block_b = auto_block_b(b, n, d, dh, num_heads,
-                           emit_attn=g_attn is not None,
-                           requested=block_b, bwd=True)
+    combined_bb = auto_block_b(b, n, d, dh, num_heads,
+                               emit_attn=g_attn is not None,
+                               requested=block_b, bwd=True)
+    tiles = _split_tiles(b, n, d, dh, num_heads,
+                         has_attn_bar=g_attn is not None,
+                         has_drop=has_drop, requested=block_b)
+    if tiles is not None and min(tiles[0], tiles[2]) > combined_bb:
+        return _pallas_vf_bwd_split(
+            x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
+            g_attn, tiles, num_heads=num_heads, scaler=scaler,
+            n_real=n_real, seed=seed, attn_drop=attn_drop,
+            proj_drop=proj_drop, mlp_drop=mlp_drop)
+    block_b = combined_bb
     if block_b == 0:
         # Big-d shapes (ViT-Base: the f32 weight-grad accumulators alone
         # exceed VMEM): backward through the XLA twin, which tiles weight

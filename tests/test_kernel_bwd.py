@@ -79,3 +79,90 @@ def test_bwd_kernel_with_attention_cotangent():
     for i, (a, b) in enumerate(zip(gp, gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-2, err_msg=str(i))
+
+
+def _ws(params):
+    return flat_args(params, None)
+
+
+def test_split_dispatch_at_cifar_shapes():
+    """At the CIFAR training shape (d=192, r=4.0, heads=3, n=69) the
+    dispatcher must choose the split path: its tiles beat the combined
+    kernel's VMEM-limited tile."""
+    from odevit_tpu.kernels.vector_field_bwd import _split_tiles
+    from odevit_tpu.kernels.vector_field import auto_block_b
+
+    tiles = _split_tiles(1024, 69, 192, 768, 3, has_attn_bar=True,
+                         has_drop=False, requested=16)
+    combined = auto_block_b(1024, 69, 192, 768, 3, emit_attn=True,
+                            requested=16, bwd=True)
+    assert tiles is not None and min(tiles[0], tiles[2]) > combined
+
+
+def test_split_bwd_matches_xla_vjp():
+    """The split path (one MLP-branch kernel with a chunked hidden + one
+    attention-branch kernel) must produce the same nine cotangents as
+    the XLA vjp."""
+    from odevit_tpu.kernels.vector_field_bwd import _pallas_vf_bwd_split
+    from odevit_tpu.kernels.vector_field import _xla_reference
+
+    d, heads, n, b = 64, 2, 17, 16
+    params = make_params(d, heads)
+    ws = flat_args(params, d)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_dx = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_attn = jnp.asarray(rng.standard_normal((b, heads, n, n)), jnp.float32)
+
+    for ga in (None, g_attn):
+        bars = _pallas_vf_bwd_split(x, *ws, g_dx, ga, (8, 128, 8),
+                                    num_heads=heads, scaler=3.0, n_real=n)
+
+        def f(x_, *ws_):
+            return _xla_reference(x_, *ws_, num_heads=heads, scaler=3.0,
+                                  n_real=n, return_attn=ga is not None)
+
+        _, vjp = jax.vjp(f, x, *ws)
+        ref = vjp((g_dx, ga) if ga is not None else g_dx)
+        names = ["x", "cna_s", "cna_b", "cnm_s", "cnm_b", "wqkv", "wout",
+                 "w1", "w2"]
+        for name, a, r in zip(names, bars, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=5e-4, rtol=5e-3, err_msg=name)
+
+
+def test_split_bwd_dropout_matches_combined():
+    """With a seed + drop rates, the split kernels regenerate the same
+    per-(site, image) masks as the combined kernel (seeding is tile-size
+    independent), so their cotangents must agree. TPU-only: pltpu's
+    prng primitives have no CPU-interpret lowering (same reason the
+    forward dropout check lives in benchmarks/tpu_dropout_check.py)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel pltpu prng requires a TPU backend")
+    from odevit_tpu.kernels.vector_field_bwd import (_pallas_vf_bwd_split,
+                                                     pallas_vf_bwd)
+    from odevit_tpu.kernels import vector_field_bwd as VB
+    from odevit_tpu.kernels import vector_field as VF
+
+    d, heads, n, b = 64, 2, 17, 8
+    params = make_params(d, heads)
+    ws = flat_args(params, d)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_dx = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_attn = jnp.asarray(rng.standard_normal((b, heads, n, n)), jnp.float32)
+    kw = dict(num_heads=heads, scaler=2.0, n_real=n, seed=1234,
+              attn_drop=0.2, proj_drop=0.1, mlp_drop=0.15)
+
+    split = _pallas_vf_bwd_split(x, *ws, g_dx, g_attn, (4, 128, 4), **kw)
+    # force the combined kernel (block 2) through the public dispatcher
+    orig_split, orig_auto = VB._split_tiles, VF.auto_block_b
+    VB._split_tiles = lambda *a, **k: None
+    VF.auto_block_b = lambda *a, **k: 2
+    try:
+        comb = pallas_vf_bwd(x, *ws, g_dx, g_attn, block_b=2, **kw)
+    finally:
+        VB._split_tiles, VF.auto_block_b = orig_split, orig_auto
+    for i, (a, c) in enumerate(zip(split, comb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, rtol=2e-3, err_msg=str(i))
