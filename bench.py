@@ -103,7 +103,9 @@ def main():
             return out["loss"] + out["jasmin_loss"]
 
         from jax.flatten_util import ravel_pytree
-        g_fused = jax.device_get(jax.jit(jax.grad(loss_fused))(params))
+        from odevit_tpu.train.fast_steps import _fused_jit_kwargs
+        g_fused = jax.device_get(
+            jax.jit(jax.grad(loss_fused), **_fused_jit_kwargs())(params))
         g_flax = jax.device_get(jax.jit(jax.grad(loss_flax))(params))
         flat_f, _ = ravel_pytree(g_fused)
         flat_x, _ = ravel_pytree(g_flax)

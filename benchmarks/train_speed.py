@@ -56,8 +56,11 @@ def bench_free(batch=256, jasmin=True, iters=10, fused=False,
     state = create_train_state(p, tx)
     if fused:
         assert jasmin, "fused path always folds JaSMin"
+        # remat=None -> the fused path's auto policy (no-remat whenever
+        # the vjp residuals fit HBM); --no-remat forces it off
         step = make_fast_free_train_step(m, tx, jasmin_k=10,
-                                         preprocess_fn=pre, donate=False)
+                                         preprocess_fn=pre, donate=False,
+                                         remat=None if remat else False)
     else:
         step = make_free_train_step(m, tx, use_jasmin=jasmin, jasmin_k=10,
                                     preprocess_fn=pre, donate=False)

@@ -299,12 +299,17 @@ def _mlp_bwd_kernel(x_ref, cnm_s_ref, cnm_b_ref, w1_ref, w2_ref, g_ref,
 
 
 def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
-                     g_ref, *refs, num_heads: int, scaler: float,
-                     n_real: int, block_b: int, has_attn_bar: bool,
-                     attn_drop: float = 0.0, proj_drop: float = 0.0,
-                     has_seed: bool = False):
-    """Attention-branch backward only (split-kernel path); same math as
-    the attention half of _vf_bwd_kernel."""
+                     g_ref, xbarm_ref, *refs, num_heads: int,
+                     scaler: float, n_real: int, block_b: int,
+                     has_attn_bar: bool, attn_drop: float = 0.0,
+                     proj_drop: float = 0.0, has_seed: bool = False):
+    """Attention-branch backward (split-kernel path); same math as the
+    attention half of _vf_bwd_kernel. Takes the MLP kernel's x_bar
+    contribution as an INPUT and emits the summed x_bar: the data
+    dependency forces XLA to schedule the two kernels sequentially, so
+    their scoped-VMEM stack frames never coexist — concurrent pallas
+    calls in one computation share the 16MB scoped budget (measured:
+    two ~8.4M kernels scheduled together OOM at 16.7M)."""
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
     seed_ref = refs.pop(0) if has_seed else None
@@ -408,7 +413,7 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
     cnasbar_ref[:] += jnp.sum(a_bar * cent, axis=0, keepdims=True)
     cnabbar_ref[:] += jnp.sum(a_bar, axis=0, keepdims=True)
     c_bar = a_bar * cna_s_ref[0]
-    xbar_ref[:] = (d / (d - 1.0)) * (
+    xbar_ref[:] = xbarm_ref[:] + (d / (d - 1.0)) * (
         c_bar - jnp.mean(c_bar, axis=-1, keepdims=True))
 
 
@@ -441,8 +446,12 @@ def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
                  has_drop: bool, requested: int = 16):
     """(mlp_block_b, dh_chunk, attn_block_b) for the split backward, or
     None when even 1-image tiles don't fit. Estimates mirror each
-    kernel's live set (see kernel docstrings)."""
-    from odevit_tpu.kernels.vector_field import TOKEN_PAD, VMEM_BUDGET
+    kernel's live set (see kernel docstrings). Each kernel gets the full
+    raised budget (BWD_VMEM_BUDGET): the two are chained through x_bar,
+    so their stack frames never coexist."""
+    from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
+                                                 BWD_VMEM_BUDGET
+                                                 as VMEM_BUDGET)
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
 
     # ---- MLP kernel: batch tile x hidden chunk ----
@@ -563,8 +572,9 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
     in_specs = [row_spec(rows_a), vec, vec,
                 pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
                 pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
-                row_spec(rows_a)]
-    operands = [x2d, cna_s[None], cna_b[None], wqkv_c, wout_c, g2d]
+                row_spec(rows_a), row_spec(rows_a)]
+    operands = [x2d, cna_s[None], cna_b[None], wqkv_c, wout_c, g2d,
+                xbar_m]
     if g_attn is not None:
         in_specs.append(pl.BlockSpec(
             (attn_bb, num_heads, n_pad, n_pad),
@@ -592,10 +602,9 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
             pltpu.VMEM((attn_bb, n_pad, 3 * d), x.dtype),
         ],
     )(*operands)
-    xbar_a, wqkv_bar, wout_bar, cnas_bar, cnab_bar = attn_outs
+    xbar_sum, wqkv_bar, wout_bar, cnas_bar, cnab_bar = attn_outs
 
-    x_bar = ((xbar_m + xbar_a).reshape(b, n_pad, d)[:, :n, :]
-             .astype(x.dtype))
+    x_bar = xbar_sum.reshape(b, n_pad, d)[:, :n, :].astype(x.dtype)
     return (x_bar, cnas_bar[0], cnab_bar[0], cnms_bar[0], cnmb_bar[0],
             wqkv_bar, wout_bar, w1_bar, w2_bar)
 
@@ -614,12 +623,20 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     size). Returns cotangents for (x, cna_s, cna_b, cnm_s, cnm_b, wqkv,
     wout, w1, w2) in f32.
 
-    Dispatch: prefers the SPLIT path (one MLP-branch kernel with a
-    chunked hidden + one attention-branch kernel) whenever it fits a
-    strictly larger batch tile than the combined kernel — at CIFAR
-    shapes that is 16/16 vs the combined kernel's 4. Falls back to the
-    combined kernel at equal tiles, and to the XLA-twin vjp when neither
-    fits (ViT-Base: the f32 weight-grad accumulators alone exceed VMEM).
+    Dispatch: the COMBINED kernel when it fits a tile (in-situ scoped
+    VMEM is what binds, and one kernel per evaluation is what Mosaic
+    accounts most predictably — split variants with larger per-kernel
+    tiles exceeded the 16MB scoped limit inside the transposed loop
+    regardless of their standalone footprints until they were chained;
+    chained, they still don't beat the combined kernel's locality). The
+    caller's jit must raise the scoped limit (bwd_compiler_options):
+    under it, combined bb=8 measures 3,002 img/s at B=1024 CIFAR with
+    remat off vs flax's 2,028 (1.48x; 1.57x vs the 1,918 flax
+    re-measure). The SPLIT path (per-branch kernels chained through
+    x_bar, chunked MLP hidden) is the middle fallback for shapes where
+    the combined kernel's live set can't fit even one image; the
+    XLA-twin vjp is the last resort (ViT-Base: the f32 weight-grad
+    accumulators alone exceed VMEM).
     """
     from odevit_tpu.kernels.vector_field import auto_block_b
 
@@ -632,15 +649,16 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     combined_bb = auto_block_b(b, n, d, dh, num_heads,
                                emit_attn=g_attn is not None,
                                requested=block_b, bwd=True)
-    tiles = _split_tiles(b, n, d, dh, num_heads,
-                         has_attn_bar=g_attn is not None,
-                         has_drop=has_drop, requested=block_b)
-    if tiles is not None and min(tiles[0], tiles[2]) > combined_bb:
-        return _pallas_vf_bwd_split(
-            x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
-            g_attn, tiles, num_heads=num_heads, scaler=scaler,
-            n_real=n_real, seed=seed, attn_drop=attn_drop,
-            proj_drop=proj_drop, mlp_drop=mlp_drop)
+    if combined_bb == 0:
+        tiles = _split_tiles(b, n, d, dh, num_heads,
+                             has_attn_bar=g_attn is not None,
+                             has_drop=has_drop, requested=block_b)
+        if tiles is not None:
+            return _pallas_vf_bwd_split(
+                x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
+                g_attn, tiles, num_heads=num_heads, scaler=scaler,
+                n_real=n_real, seed=seed, attn_drop=attn_drop,
+                proj_drop=proj_drop, mlp_drop=mlp_drop)
     block_b = combined_bb
     if block_b == 0:
         # Big-d shapes (ViT-Base: the f32 weight-grad accumulators alone

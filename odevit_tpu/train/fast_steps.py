@@ -72,9 +72,49 @@ def _xla_dropout_eval(y, vf_params, seed, *, num_heads, scaler, n_real,
                           return_attn=want_attn, masks=masks)
 
 
+HBM_RESIDUAL_BUDGET = 8 * 1024 ** 3   # half of a v5e's 16GB
+
+
+def _fused_jit_kwargs():
+    """Extra jax.jit kwargs for steps that differentiate through the
+    fused kernel: on TPU, raise the scoped-VMEM limit so the backward
+    kernel can run its measured-fastest bb=8 tile (and the borderline
+    tiles stop being scheduler-flaky). CPU/interpret runs take no
+    options — the flag is TPU-only."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {}
+    from odevit_tpu.kernels.vector_field import bwd_compiler_options
+    return {"compiler_options": bwd_compiler_options()}
+
+
+def _auto_remat(model, batch: int, n: int, remat) -> bool:
+    """Fused-path remat policy. Remat inside the scan body is HARMFUL
+    here unless activations don't fit: (a) it recomputes the forward
+    kernel once more per evaluation, and (b) the recompute's scoped VMEM
+    stacks with the backward kernels' in the same transposed loop body —
+    at B=1024 CIFAR shapes that sum exceeds Mosaic's 16MB limit
+    (measured: 17.3M). Without remat the scan saves each evaluation's
+    input (bf16 [B, N_pad, D]) plus the JaSMin tail's attention maps as
+    vjp residuals in HBM; this estimates that footprint and only keeps
+    remat when it would not fit comfortably."""
+    if remat is not None:
+        return bool(remat)
+    from odevit_tpu.core.integrators import num_stages
+    from odevit_tpu.kernels.vector_field import TOKEN_PAD
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    evals = (model.num_eval_steps - 1) * num_stages(model.solver)
+    tail = min(int(0.85 * model.num_eval_steps) * num_stages(model.solver),
+               evals)
+    d = model.embed_dim
+    bytes_ = (evals * batch * n_pad * d * 2
+              + tail * 2 * batch * model.num_heads * n_pad * n_pad * 2)
+    return bytes_ > HBM_RESIDUAL_BUDGET
+
+
 def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                       use_pallas: bool = True, block_b: int = 16,
-                      rng=None):
+                      rng=None, remat=None):
     """CE + JaSMin forward through the fused kernel; returns (loss, aux).
 
     With nonzero model drop rates and an ``rng``, runs the in-kernel
@@ -178,12 +218,14 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                             + 0.125 * k4)).astype(y.dtype)
         return y_next, jnp.stack([j1, j2, j3, j4])
 
+    use_remat = _auto_remat(model, pixels.shape[0], n, remat)
+
     def body_of(fn):
         def body(y, t_dt):
             t, dt = t_dt
             y_next, jas_stages = step(fn, y, t, dt)
             return y_next, jas_stages
-        if model.remat:
+        if use_remat:
             body = jax.checkpoint(body, prevent_cse=False)
         return body
 
@@ -192,7 +234,7 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
             dt, seed_step = x
             y_next, jas_stages = step_drop(y, dt, seed_step, with_jasmin)
             return y_next, jas_stages
-        if model.remat:
+        if use_remat:
             body = jax.checkpoint(body, prevent_cse=False)
         return body
 
@@ -240,7 +282,7 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
                          use_distillation: bool = True,
                          use_kl_loss: bool = False, supervise: bool = False,
                          use_pallas: bool = True, block_b: int = 16,
-                         rng=None):
+                         rng=None, remat=None):
     """Distillation-student forward through the fused kernel.
 
     The TS hot loop (loss_trainer.py:305-371) at TS-Base shapes: the
@@ -331,6 +373,8 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
             block_b=block_b, use_pallas=use_pallas, n_real=n)
 
+    use_remat = _auto_remat(model, pixels.shape[0], n, remat)
+
     def body(with_jasmin):
         def _body(y, seed):
             if with_jasmin:
@@ -340,7 +384,7 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
                 dx = eval_plain(y, seed)
                 jas = jnp.zeros(())
             return (y + dt * dx).astype(y.dtype), jas
-        if model.remat:
+        if use_remat:
             _body = jax.checkpoint(_body, prevent_cse=False)
         return _body
 
@@ -420,7 +464,7 @@ def make_fast_distill_train_step(
         use_kl_loss: bool = False, temperature: float = 30.0,
         lr_schedule: Optional[Callable] = None,
         preprocess_fn: Optional[Callable] = None, use_pallas: bool = True,
-        block_b: int = 16, donate: bool = True):
+        block_b: int = 16, donate: bool = True, remat=None):
     """Fused-kernel drop-in for train.steps.make_distill_train_step (the
     TS-Base hot loop). Teacher forward stays pure flax/XLA (a standard
     ViT-B — already MXU-shaped); the student fwd+bwd runs through the
@@ -448,7 +492,7 @@ def make_fast_distill_train_step(
                 use_distillation=use_distillation,
                 use_kl_loss=use_kl_loss, supervise=supervise,
                 use_pallas=use_pallas, block_b=block_b,
-                rng=rng if has_drop else None)
+                rng=rng if has_drop else None, remat=remat)
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -462,14 +506,16 @@ def make_fast_distill_train_step(
         return new_state, metrics
 
     return jax.jit(step, static_argnames=("supervise",),
-                   donate_argnums=(0,) if donate else ())
+                   donate_argnums=(0,) if donate else (),
+                   **_fused_jit_kwargs())
 
 
 def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                               lr_schedule: Optional[Callable] = None,
                               preprocess_fn: Optional[Callable] = None,
                               use_pallas: bool = True,
-                              block_b: int = 16, donate: bool = True):
+                              block_b: int = 16, donate: bool = True,
+                              remat=None):
     """Drop-in fused alternative to make_free_train_step (deterministic)."""
 
     has_drop = any(float(d) > 0.0 for d in
@@ -486,7 +532,8 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                                      batch["labels"], jasmin_k=jasmin_k,
                                      use_pallas=use_pallas,
                                      block_b=block_b,
-                                     rng=rng if has_drop else None)
+                                     rng=rng if has_drop else None,
+                                     remat=remat)
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -498,4 +545,5 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   **_fused_jit_kwargs())

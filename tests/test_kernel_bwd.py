@@ -85,18 +85,28 @@ def _ws(params):
     return flat_args(params, None)
 
 
-def test_split_dispatch_at_cifar_shapes():
-    """At the CIFAR training shape (d=192, r=4.0, heads=3, n=69) the
-    dispatcher must choose the split path: its tiles beat the combined
-    kernel's VMEM-limited tile."""
+def test_bwd_dispatch_ladder():
+    """Dispatch ordering: combined kernel at CIFAR shapes (the known
+    in-situ-safe config), split kernels at mid-size shapes where the
+    combined live set can't fit one image, XLA twin at ViT-Base."""
     from odevit_tpu.kernels.vector_field_bwd import _split_tiles
     from odevit_tpu.kernels.vector_field import auto_block_b
 
-    tiles = _split_tiles(1024, 69, 192, 768, 3, has_attn_bar=True,
-                         has_drop=False, requested=16)
-    combined = auto_block_b(1024, 69, 192, 768, 3, emit_attn=True,
-                            requested=16, bwd=True)
-    assert tiles is not None and min(tiles[0], tiles[2]) > combined
+    # CIFAR (d=192, r=4, heads=3, n=69): combined fits at the measured-
+    # fastest bb=8 under the raised scoped limit
+    assert auto_block_b(1024, 69, 192, 768, 3, emit_attn=True,
+                        requested=16, bwd=True) == 8
+    # long-sequence mid-width (d=512, r=4, n=400): combined can't fit
+    # one image, the chained split kernels can
+    assert auto_block_b(64, 400, 512, 2048, 8, emit_attn=True,
+                        requested=16, bwd=True) == 0
+    assert _split_tiles(64, 400, 512, 2048, 8, has_attn_bar=True,
+                        has_drop=False, requested=16) is not None
+    # ViT-Base (d=768, r=4, n=208): neither fits -> XLA twin fallback
+    assert auto_block_b(64, 208, 768, 3072, 12, emit_attn=True,
+                        requested=16, bwd=True) == 0
+    assert _split_tiles(64, 208, 768, 3072, 12, has_attn_bar=True,
+                        has_drop=False, requested=16) is None
 
 
 def test_split_bwd_matches_xla_vjp():
