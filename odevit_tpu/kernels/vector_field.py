@@ -199,9 +199,9 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                l2_attention: bool = False, has_bias: bool = False,
                attn_drop: float = 0.0, proj_drop: float = 0.0,
                mlp_drop: float = 0.0, has_seed: bool = False,
-               emit_masks: bool = False):
+               emit_masks: bool = False, jas_kk: int = 0):
     # ref order: [seed (if has_seed)], [qkvb, outb (if has_bias)] (inputs),
-    #            dx_ref, [attn_ref (if emit_attn)],
+    #            dx_ref, [attn_ref (if emit_attn)], [jas_ref (if jas_k)],
     #            [mask refs (if emit_masks)] (outputs), ctx_scratch
     refs = list(refs)
     seed_ref = refs.pop(0) if has_seed else None
@@ -209,6 +209,7 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     out_bias = refs.pop(0)[0] if has_bias else None
     dx_ref = refs.pop(0)
     attn_ref = refs.pop(0) if emit_attn else None
+    jas_ref = refs.pop(0) if jas_kk else None
     if emit_masks:
         mh_ref, mmo_ref, mao_ref, mp_ref = refs[:4]
         refs = refs[4:]
@@ -285,6 +286,38 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         if emit_attn:
             # returned maps are PRE-dropout (torch MHA convention)
             attn_ref[:, hh, :, :] = p
+        if jas_kk:
+            # JaSMin order statistics IN VMEM: the [TB, N, N] map never
+            # leaves the kernel. kk max-extraction passes on the same
+            # bf16-rounded values the emitting path would hand XLA, so
+            # the statistics match jasmin_order_stats(maps) exactly.
+            # Suppression is arithmetic (-BIG at the first argmax
+            # occurrence) — iota/min select exactly one column per pass.
+            # All-f32 selection lanes: int32 index arithmetic lowers
+            # ~4x slower on the VPU (measured 10.6 -> 2.6 ms/eval), and
+            # bf16 comparisons are unsupported by the target.
+            kk = jas_kk
+            cur = p.astype(jnp.float32)
+            jas_ref[:, hh, 4, :] = jnp.sum(
+                jnp.clip(cur, 1e-12, 1.0), axis=-1)
+            ids = jax.lax.broadcasted_iota(
+                jnp.int32, (block_b, n_pad, n_pad), 2).astype(jnp.float32)
+            for j in range(kk):
+                m = jnp.max(cur, axis=-1, keepdims=True)
+                if j == 0:
+                    jas_ref[:, hh, 0, :] = m[:, :, 0]
+                if j == 1:
+                    jas_ref[:, hh, 1, :] = m[:, :, 0]
+                if j == kk - 2:
+                    jas_ref[:, hh, 2, :] = m[:, :, 0]
+                if j == kk - 1:
+                    jas_ref[:, hh, 3, :] = m[:, :, 0]
+                if j < kk - 1:
+                    is_m = (cur >= m).astype(jnp.float32)
+                    masked = ids * is_m + (1.0 - is_m) * float(n_pad)
+                    fidx = jnp.min(masked, axis=-1, keepdims=True)
+                    first = (ids == fidx).astype(jnp.float32)
+                    cur = cur - first * 1e30
         if attn_drop > 0.0:
             mask_p = _mask_p(attn_drop, seed, hh, img0, block_b, n_pad)
             p = (p.astype(jnp.float32) * mask_p).astype(dtype)
@@ -320,7 +353,7 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                     emit_attn: bool = False, l2_attention: bool = False,
                     seed=None, attn_drop: float = 0.0,
                     proj_drop: float = 0.0, mlp_drop: float = 0.0,
-                    emit_masks: bool = False):
+                    emit_masks: bool = False, jas_kk: int = 0):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
@@ -350,7 +383,8 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                                attn_drop=attn_drop if has_seed else 0.0,
                                proj_drop=proj_drop if has_seed else 0.0,
                                mlp_drop=mlp_drop if has_seed else 0.0,
-                               has_seed=has_seed, emit_masks=emit_masks)
+                               has_seed=has_seed, emit_masks=emit_masks,
+                               jas_kk=jas_kk)
     mat = lambda i: (0, 0)
 
     out_specs = [pl.BlockSpec((rows, d), lambda i: (i, 0),
@@ -362,6 +396,13 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(
             (b, num_heads, n_pad, n_pad), x.dtype))
+    if jas_kk:
+        from odevit_tpu.losses.jasmin import JAS_ROWS
+        out_specs.append(pl.BlockSpec(
+            (block_b, num_heads, JAS_ROWS, n_pad),
+            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (b, num_heads, JAS_ROWS, n_pad), jnp.float32))
     if emit_masks:
         out_specs += [
             pl.BlockSpec((rows, dh), lambda i: (i, 0),
@@ -427,6 +468,9 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     if emit_attn:
         # padded QUERY rows carry garbage probabilities; slice to real
         results.append(out.pop(0)[:, :, :n, :n])
+    if jas_kk:
+        # query rows live on the LAST axis here; slice padded rows off
+        results.append(out.pop(0)[:, :, :, :n])
     if emit_masks:
         results.append(tuple(out))      # (mask_h, mask_mo, mask_ao, mask_p)
     return results[0] if len(results) == 1 else tuple(results)
@@ -629,6 +673,122 @@ def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
                           n_real=n_real, return_attn=True)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_vf_jasmin(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                    num_heads: int, scaler: float, block_b: int,
+                    n_real: int, jas_k: int):
+    """Fused evaluation that returns (dx, jas_stats) where jas_stats is
+    the [B, H, JAS_ROWS, N] JaSMin order-statistics tensor
+    (losses.jasmin.jasmin_order_stats layout; query rows on the LAST
+    axis). The [B, H, N, N] attention maps never leave VMEM — this is
+    the JaSMin training fast path (the full-map variant spends ~half the
+    training-forward wall time re-reading the maps from HBM for the
+    top-k extraction; measured 167ms -> 87ms at B=1024 CIFAR). Feed the
+    stats to losses.jasmin.jasmin_from_stats. Backward scatters the
+    five statistic cotangents back into p-bar inside the backward
+    kernel at recomputed argmax positions."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real,
+                           jas_kk=max(jas_k, 1) + 1)
+
+
+def _fused_vf_jasmin_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
+                         w2, num_heads, scaler, block_b, n_real, jas_k):
+    out = fused_vf_jasmin(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
+                          w2, num_heads, scaler, block_b, n_real, jas_k)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
+
+
+def _fused_vf_jasmin_bwd(num_heads, scaler, block_b, n_real, jas_k,
+                         residuals, g):
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    g_dx, g_jas = g
+    return pallas_vf_bwd(*residuals, g_dx, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real,
+                         g_jas=g_jas, jas_k=jas_k)
+
+
+fused_vf_jasmin.defvjp(_fused_vf_jasmin_fwd, _fused_vf_jasmin_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
+def fused_vf_jasmin_dropout(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                            w1, w2, seed, num_heads: int, scaler: float,
+                            block_b: int, n_real: int, jas_k: int,
+                            attn_drop: float, proj_drop: float,
+                            mlp_drop: float):
+    """fused_vf_jasmin with in-kernel dropout (statistics are computed
+    on the PRE-dropout probabilities, matching the emitted-map
+    convention); seed semantics as fused_vf_attn_dropout."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real,
+                           jas_kk=max(jas_k, 1) + 1,
+                           seed=seed, attn_drop=attn_drop,
+                           proj_drop=proj_drop, mlp_drop=mlp_drop)
+
+
+def _fused_vf_jasmin_dropout_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv,
+                                 wout, w1, w2, seed, num_heads, scaler,
+                                 block_b, n_real, jas_k, attn_drop,
+                                 proj_drop, mlp_drop):
+    out = fused_vf_jasmin_dropout(
+        x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, seed,
+        num_heads, scaler, block_b, n_real, jas_k, attn_drop, proj_drop,
+        mlp_drop)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, seed)
+
+
+def _fused_vf_jasmin_dropout_bwd(num_heads, scaler, block_b, n_real,
+                                 jas_k, attn_drop, proj_drop, mlp_drop,
+                                 residuals, g):
+    import numpy as np
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, seed = residuals
+    g_dx, g_jas = g
+    bars = pallas_vf_bwd(*tensors, g_dx, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real,
+                         g_jas=g_jas, jas_k=jas_k, seed=seed,
+                         attn_drop=attn_drop, proj_drop=proj_drop,
+                         mlp_drop=mlp_drop)
+    seed_bar = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (*bars, seed_bar)
+
+
+fused_vf_jasmin_dropout.defvjp(_fused_vf_jasmin_dropout_fwd,
+                               _fused_vf_jasmin_dropout_bwd)
+
+
+def fused_vf_jasmin_from_params(x, vf_params, *, num_heads: int,
+                                scaler: float, jas_k: int,
+                                block_b: int = 16, use_pallas: bool = True,
+                                n_real: int = 0, seed=None,
+                                drops=(0.0, 0.0, 0.0)):
+    """(dx, jas_stats) through the fused kernel (or the XLA twin +
+    jasmin_order_stats for non-Pallas paths). Requires
+    n >= max(jas_k, 1) + 1 real tokens (callers gate on this and fall
+    back to the map-emitting path for tiny sequences)."""
+    from odevit_tpu.losses.jasmin import jasmin_order_stats
+    args = _vf_args(x, vf_params)
+    has_drop = any(d > 0.0 for d in drops)
+    if use_pallas:
+        bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                          vf_params["mlp"]["fc1_kernel"].shape[-1],
+                          num_heads, emit_jas=True, requested=block_b)
+        if has_drop:
+            return fused_vf_jasmin_dropout(
+                *args, seed, num_heads, scaler, bb,
+                n_real or x.shape[1], jas_k, *drops)
+        return fused_vf_jasmin(*args, num_heads, scaler, bb,
+                               n_real or x.shape[1], jas_k)
+    assert not has_drop, "XLA jasmin path is deterministic-only"
+    dx, attn = _xla_reference(*args, num_heads=num_heads, scaler=scaler,
+                              n_real=n_real, return_attn=True)
+    return dx, jasmin_order_stats(attn, jas_k)
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
 def fused_vf_dropout(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
@@ -752,7 +912,7 @@ def bwd_compiler_options():
 
 
 def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
-                 requested=16, bwd=False):
+                 emit_jas=False, requested=16, bwd=False):
     """Largest batch tile (halving from ``requested``, dividing ``b``)
     whose estimated VMEM footprint fits. The estimate mirrors the
     kernel's live set: activations/qkv/hidden at 2B + f32 attention
@@ -766,10 +926,15 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
     per_img = 16 * n_pad * d + 6 * n_pad * dh + 12 * n_pad * n_pad
     if emit_attn:
         per_img += num_heads * n_pad * n_pad * 2
+    if emit_jas:
+        # f32 cur/first/iota temporaries of the in-kernel top-k passes
+        per_img += 24 * n_pad * n_pad
     if bwd:
         per_img = 2 * per_img + 2 * 3 * n_pad * d    # qkv_bar scratch etc.
         weights *= 2                                  # w + w_bar accums
-    budget = BWD_VMEM_BUDGET if bwd else VMEM_BUDGET
+    # the jasmin-emitting paths run only under the train-step jits,
+    # which raise the scoped-VMEM limit (bwd_compiler_options)
+    budget = (BWD_VMEM_BUDGET if (bwd or emit_jas) else VMEM_BUDGET)
     bb = max(requested, 1)
     while b % bb:
         bb //= 2

@@ -63,9 +63,11 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                    num_heads: int, scaler: float, n_real: int,
                    block_b: int, has_attn_bar: bool,
                    attn_drop: float = 0.0, proj_drop: float = 0.0,
-                   mlp_drop: float = 0.0, has_seed: bool = False):
+                   mlp_drop: float = 0.0, has_seed: bool = False,
+                   jas_kk: int = 0):
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
+    gjas_ref = refs.pop(0) if jas_kk else None
     seed_ref = refs.pop(0) if has_seed else None
     (xbar_ref, wqkvbar_ref, woutbar_ref, w1bar_ref, w2bar_ref,
      cnasbar_ref, cnabbar_ref, cnmsbar_ref, cnmbbar_ref) = refs[:9]
@@ -180,6 +182,44 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             # the emitted maps are PRE-dropout: their cotangent adds to
             # the pre-dropout p_bar directly
             p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
+        if jas_kk:
+            # JaSMin statistic cotangents scatter into the PRE-dropout
+            # p_bar: rerun the forward's max-extraction passes (on the
+            # same bf16-rounded values, so the selected columns match
+            # bit-exactly) and place each statistic's cotangent at its
+            # argmax column; the clipped-rowsum cotangent spreads over
+            # the row through the clip indicator.
+            # all-f32 selection lanes, mirroring the forward's
+            # extraction bit-exactly (same bf16-rounded values, same
+            # compare dtype) so cotangents land on the same columns
+            kk = jas_kk
+            gj = gjas_ref[:, hh]                        # [TB, 5, N_q]
+            pj = p.astype(dtype).astype(f32)
+            ids = jax.lax.broadcasted_iota(
+                jnp.int32, (block_b, n_pad, n_pad), 2).astype(f32)
+            clipgrad = ((pj > 1e-12).astype(f32)
+                        * (pj < 1.0).astype(f32))
+            pbar_jas = gj[:, 4, :][:, :, None] * clipgrad
+            cur = pj
+            for j in range(kk):
+                m = jnp.max(cur, axis=-1, keepdims=True)
+                is_m = (cur >= m).astype(f32)
+                masked = ids * is_m + (1.0 - is_m) * float(n_pad)
+                fidx = jnp.min(masked, axis=-1, keepdims=True)
+                first = (ids == fidx).astype(f32)
+                c = None
+                if j == 0:
+                    c = gj[:, 0, :]
+                if j == 1:
+                    c = gj[:, 1, :] if c is None else c + gj[:, 1, :]
+                if j == kk - 2:
+                    c = gj[:, 2, :] if c is None else c + gj[:, 2, :]
+                if j == kk - 1:
+                    c = gj[:, 3, :] if c is None else c + gj[:, 3, :]
+                if c is not None:
+                    pbar_jas = pbar_jas + first * c[:, :, None]
+                cur = cur - first * 1e30
+            p_bar = p_bar + pbar_jas
         v_bar = jax.lax.dot_general(
             p_used, cb_h,
             (((1,), (1,)), ((0,), (0,))),                 # p^T @ cb_h
@@ -419,9 +459,11 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
 
 def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                       g_dx, g_attn, *, num_heads, scaler, n_real,
-                      seed, attn_drop, proj_drop, mlp_drop):
+                      seed, attn_drop, proj_drop, mlp_drop,
+                      g_jas=None, jas_k: int = 0):
     from odevit_tpu.kernels.vector_field import (_xla_reference,
                                                  generate_dropout_masks)
+    from odevit_tpu.losses.jasmin import jasmin_order_stats
     b, n, d = x.shape
     has_drop = (seed is not None
                 and (attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0))
@@ -430,15 +472,25 @@ def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         masks = generate_dropout_masks(
             b, n, d, w1.shape[-1], num_heads, seed,
             attn_drop=attn_drop, proj_drop=proj_drop, mlp_drop=mlp_drop)
+    want_attn = g_attn is not None or g_jas is not None
 
     def f(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_, wout_, w1_, w2_):
-        return _xla_reference(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_,
-                              wout_, w1_, w2_, num_heads=num_heads,
-                              scaler=scaler, n_real=n_real,
-                              return_attn=g_attn is not None, masks=masks)
+        out = _xla_reference(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_,
+                             wout_, w1_, w2_, num_heads=num_heads,
+                             scaler=scaler, n_real=n_real,
+                             return_attn=want_attn, masks=masks)
+        if g_jas is not None:
+            dx_, attn_ = out
+            return dx_, jasmin_order_stats(attn_, jas_k)
+        return out
 
     _, vjp = jax.vjp(f, x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
-    g = (g_dx, g_attn) if g_attn is not None else g_dx
+    if g_jas is not None:
+        g = (g_dx, g_jas)
+    elif g_attn is not None:
+        g = (g_dx, g_attn)
+    else:
+        g = g_dx
     return vjp(g)
 
 
@@ -613,11 +665,14 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                   g_dx, g_attn=None, *, num_heads: int, scaler: float,
                   block_b: int, n_real: int = 0, seed=None,
                   attn_drop: float = 0.0, proj_drop: float = 0.0,
-                  mlp_drop: float = 0.0):
+                  mlp_drop: float = 0.0, g_jas=None, jas_k: int = 0):
     """Backward pass of the fused evaluation.
 
     Args mirror the forward; ``g_dx`` is the dx cotangent [B, N, D] and
-    ``g_attn`` the optional attention-map cotangent [B, H, N, N]. With a
+    ``g_attn`` the optional attention-map cotangent [B, H, N, N].
+    ``g_jas`` is the optional cotangent of the JaSMin order-statistics
+    output [B, H, JAS_ROWS, N] (fused_vf_jasmin; query rows on the last
+    axis) — scattered back into p-bar in-kernel. With a
     ``seed`` + nonzero drop rates, the forward's per-image dropout masks
     are regenerated in-kernel (identical streams regardless of tile
     size). Returns cotangents for (x, cna_s, cna_b, cnm_s, cnm_b, wqkv,
@@ -644,12 +699,14 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     dh = w1.shape[-1]
     n_real = n_real or n
     has_drop = attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0
+    has_jas = g_jas is not None
     # the backward holds ~2-3x the forward's live intermediates
     # (recompute + cotangents); size the tile from the VMEM estimate
     combined_bb = auto_block_b(b, n, d, dh, num_heads,
                                emit_attn=g_attn is not None,
+                               emit_jas=has_jas,
                                requested=block_b, bwd=True)
-    if combined_bb == 0:
+    if combined_bb == 0 and not has_jas:
         tiles = _split_tiles(b, n, d, dh, num_heads,
                              has_attn_bar=g_attn is not None,
                              has_drop=has_drop, requested=block_b)
@@ -669,7 +726,7 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
             g_attn, num_heads=num_heads, scaler=scaler, n_real=n_real,
             seed=seed, attn_drop=attn_drop, proj_drop=proj_drop,
-            mlp_drop=mlp_drop)
+            mlp_drop=mlp_drop, g_jas=g_jas, jas_k=jas_k)
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n), (0, 0))
@@ -678,6 +735,10 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         if g_attn is not None:
             g_attn = jnp.pad(g_attn, ((0, 0), (0, 0), (0, n_pad - n),
                                       (0, n_pad - n)))
+        if has_jas:
+            # query rows ride the LAST axis of the statistics tensor
+            g_jas = jnp.pad(g_jas, ((0, 0), (0, 0), (0, 0),
+                                    (0, n_pad - n)))
     x2d = x.reshape(b * n_pad, d)
     g2d = g_dx.reshape(b * n_pad, d).astype(x.dtype)
     wqkv_c, wout_c, w1_c, w2_c = (w.astype(x.dtype)
@@ -698,7 +759,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         attn_drop=attn_drop if has_seed else 0.0,
         proj_drop=proj_drop if has_seed else 0.0,
         mlp_drop=mlp_drop if has_seed else 0.0,
-        has_seed=has_seed)
+        has_seed=has_seed,
+        jas_kk=(max(jas_k, 1) + 1) if has_jas else 0)
 
     in_specs = [
         pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -719,6 +781,12 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             (block_b, num_heads, n_pad, n_pad),
             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
         operands.append(g_attn.astype(x.dtype))
+    if has_jas:
+        from odevit_tpu.losses.jasmin import JAS_ROWS
+        in_specs.append(pl.BlockSpec(
+            (block_b, num_heads, JAS_ROWS, n_pad),
+            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
+        operands.append(g_jas.astype(jnp.float32))
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(seed, jnp.int32).reshape(1))

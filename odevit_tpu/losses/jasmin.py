@@ -92,6 +92,47 @@ def jasmin_loss(attn_maps, k=0, reduction="mean"):
     return jnp.mean(losses) if reduction == "mean" else jnp.sum(losses)
 
 
+JAS_ROWS = 5     # x1, x2, xk, xk+1, clipped-rowsum (per query row)
+
+
+def jasmin_order_stats(attn, k):
+    """[B,H,JAS_ROWS,N] order statistics the fused kernel also emits:
+    rows 0..3 are the raw 1st/2nd/k-th/(k+1)-th largest entries of each
+    attention row (query tokens on the LAST axis), row 4 the clipped row
+    sum. ``jasmin_from_stats`` on this tensor equals
+    ``jasmin_map_loss(attn, k)`` — clipping commutes with the top-k
+    (monotone), so top-k of the clipped/renormalized rows equals
+    clip(raw top-k)/rowsum. XLA twin of the kernel's extraction; used by
+    the non-Pallas paths and the parity tests."""
+    p = attn.astype(jnp.float32)
+    kk = max(k, 1) + 1
+    if p.shape[-1] < kk:
+        raise ValueError(f"need n >= {kk} keys for k={k}")
+    tops = _top_values(p, kk)
+    s = jnp.sum(jnp.clip(p, _EPS, 1.0), axis=-1)
+    return jnp.stack([tops[0], tops[1], tops[kk - 2], tops[kk - 1], s],
+                     axis=-2)
+
+
+def jasmin_from_stats(stats, k):
+    """JaSMin scalar from ``jasmin_order_stats``-layout order statistics
+    ([..., JAS_ROWS, N]); same value as ``jasmin_map_loss`` on the maps
+    that produced them."""
+    x = (jnp.clip(stats[..., :4, :], _EPS, 1.0)
+         / (stats[..., 4:5, :] + _EPS))
+    x1, x2, xk, xk1 = (x[..., i, :] for i in range(4))
+    g1 = x1 * (1.0 - x1 + x2)
+    if k <= 1:
+        gk = g1
+    else:
+        gk = xk * (1.0 - xk + xk1)
+    if k == 0:
+        loss = jnp.log(g1 + _EPS)
+    else:
+        loss = jnp.log(g1 / (gk + _EPS) + _EPS)
+    return jnp.mean(jnp.max(loss, axis=-1))
+
+
 def jasmin_trajectory_window(per_eval_losses, num_eval_steps):
     """Combine per-evaluation JaSMin scalars the way the reference does.
 

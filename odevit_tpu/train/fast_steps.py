@@ -32,10 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from odevit_tpu.core.integrators import make_step
-from odevit_tpu.kernels.vector_field import fused_vf_attn_from_params
+from odevit_tpu.kernels.vector_field import (fused_vf_attn_from_params,
+                                             fused_vf_jasmin_from_params)
 from odevit_tpu.losses.classification import cross_entropy
-from odevit_tpu.losses.jasmin import jasmin_map_loss, \
-    jasmin_trajectory_window
+from odevit_tpu.losses.jasmin import (jasmin_from_stats, jasmin_map_loss,
+                                      jasmin_trajectory_window)
 from odevit_tpu.models.fast_forward import _patch_embed_module
 from odevit_tpu.models.vector_field import drift_scaler
 from odevit_tpu.train.steps import _accuracy, optax_global_norm
@@ -88,7 +89,8 @@ def _fused_jit_kwargs():
     return {"compiler_options": bwd_compiler_options()}
 
 
-def _auto_remat(model, batch: int, n: int, remat) -> bool:
+def _auto_remat(model, batch: int, n: int, remat,
+                stats_path: bool = False) -> bool:
     """Fused-path remat policy. Remat inside the scan body is HARMFUL
     here unless activations don't fit: (a) it recomputes the forward
     kernel once more per evaluation, and (b) the recompute's scoped VMEM
@@ -107,8 +109,12 @@ def _auto_remat(model, batch: int, n: int, remat) -> bool:
     tail = min(int(0.85 * model.num_eval_steps) * num_stages(model.solver),
                evals)
     d = model.embed_dim
-    bytes_ = (evals * batch * n_pad * d * 2
-              + tail * 2 * batch * model.num_heads * n_pad * n_pad * 2)
+    if stats_path:
+        # JaSMin rides as [B, H, 5, N] order statistics, not full maps
+        tail_bytes = tail * batch * model.num_heads * 5 * n_pad * 4
+    else:
+        tail_bytes = tail * 2 * batch * model.num_heads * n_pad * n_pad * 2
+    bytes_ = evals * batch * n_pad * d * 2 + tail_bytes
     return bytes_ > HBM_RESIDUAL_BUDGET
 
 
@@ -139,8 +145,18 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     tokens = pe.apply({"params": params["patch_embed"]}, pixels)
     n = tokens.shape[1]
     scaler = drift_scaler(model.emulate_depth, model.time_interval)
+    # JaSMin via in-kernel order statistics whenever the sequence is
+    # long enough for the k+1 extraction passes (tiny models fall back
+    # to the map-emitting path)
+    stats_ok = n >= max(jasmin_k, 1) + 1
 
     def f(t, y):
+        if stats_ok:
+            dx, st = fused_vf_jasmin_from_params(
+                y, params["vf"], num_heads=model.num_heads,
+                scaler=scaler, jas_k=jasmin_k, block_b=block_b,
+                use_pallas=use_pallas, n_real=n)
+            return dx, jasmin_from_stats(st, jasmin_k)
         dx, attn = fused_vf_attn_from_params(
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
             block_b=block_b, use_pallas=use_pallas, n_real=n)
@@ -190,6 +206,12 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                 return dx, jasmin_map_loss(attn, k=jasmin_k)
             return out, jnp.zeros(())
         if with_jasmin:
+            if stats_ok:
+                dx, st = fused_vf_jasmin_from_params(
+                    y, params["vf"], num_heads=model.num_heads,
+                    scaler=scaler, jas_k=jasmin_k, block_b=block_b,
+                    n_real=n, seed=eval_seed, drops=drops)
+                return dx, jasmin_from_stats(st, jasmin_k)
             dx, attn = fused_vf_attn_dropout_from_params(
                 y, params["vf"], eval_seed, num_heads=model.num_heads,
                 scaler=scaler, drops=drops, block_b=block_b, n_real=n)
@@ -218,7 +240,8 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                             + 0.125 * k4)).astype(y.dtype)
         return y_next, jnp.stack([j1, j2, j3, j4])
 
-    use_remat = _auto_remat(model, pixels.shape[0], n, remat)
+    use_remat = _auto_remat(model, pixels.shape[0], n, remat,
+                            stats_path=stats_ok)
 
     def body_of(fn):
         def body(y, t_dt):
@@ -373,13 +396,30 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
             block_b=block_b, use_pallas=use_pallas, n_real=n)
 
-    use_remat = _auto_remat(model, pixels.shape[0], n, remat)
+    # jasmin tail evals via in-kernel order statistics (maps stay in
+    # VMEM); the XLA-rbg dropout path keeps the map route (its twin
+    # computes maps anyway)
+    stats_ok = (n >= max(jasmin_k, 1) + 1
+                and not (has_drop and not pltpu_drop))
+
+    def eval_jas(y, seed):
+        if not stats_ok:
+            dx, attn = eval_attn(y, seed)
+            return dx, jasmin_map_loss(attn, k=jasmin_k)
+        dx, st = fused_vf_jasmin_from_params(
+            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+            jas_k=jasmin_k, block_b=block_b, use_pallas=use_pallas,
+            n_real=n, seed=seed if has_drop else None,
+            drops=drops if has_drop else (0.0, 0.0, 0.0))
+        return dx, jasmin_from_stats(st, jasmin_k)
+
+    use_remat = _auto_remat(model, pixels.shape[0], n, remat,
+                            stats_path=stats_ok)
 
     def body(with_jasmin):
         def _body(y, seed):
             if with_jasmin:
-                dx, attn = eval_attn(y, seed)
-                jas = jasmin_map_loss(attn, k=jasmin_k)
+                dx, jas = eval_jas(y, seed)
             else:
                 dx = eval_plain(y, seed)
                 jas = jnp.zeros(())
