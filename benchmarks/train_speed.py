@@ -80,6 +80,61 @@ def bench_free(batch=256, jasmin=True, iters=10, fused=False,
             "images_per_sec": round(batch / best, 1), "nfe": 48}
 
 
+def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True):
+    """TS-Base distillation hot loop (loss_trainer.py:305-371 shapes):
+    DINO-teacher forward + student trajectory + trajectory-MSE +
+    attention-L1 + JaSMin + update, 224px/768d, euler-36."""
+    import jax
+    import jax.numpy as jnp
+    from odevit_tpu.models.vit_ode import ViTODE
+    from odevit_tpu.teacher.vit import ViTTeacher
+    from odevit_tpu.utils.init_utils import init_on_cpu
+    from odevit_tpu.data.pipeline import make_preprocess
+    from odevit_tpu.train.state import (all_trainable, create_train_state,
+                                        make_optimizer)
+    from odevit_tpu.train.steps import make_distill_train_step
+    from odevit_tpu.train.fast_steps import make_fast_distill_train_step
+
+    rng = np.random.default_rng(0)
+    data = {"pixel_values": jax.device_put(rng.integers(
+                0, 256, (batch, 224, 224, 3), dtype=np.uint8)),
+            "labels": jax.device_put(rng.integers(0, 100, batch)
+                                     .astype(np.int32))}
+    pre = make_preprocess(None, dtype=jnp.bfloat16)
+    student = ViTODE(img_size=224, patch_size=16, embed_dim=768,
+                     num_heads=12, mlp_ratio=4.0, num_classes=100,
+                     emulate_depth=12.0, time_interval=1.0,
+                     num_eval_steps=37, solver="euler",
+                     register_tokens=0, remat=remat, dtype=jnp.bfloat16,
+                     attn_drop=drop, proj_drop=drop, mlp_drop=drop)
+    teacher = ViTTeacher(num_classes=100, dtype=jnp.bfloat16)
+    sp = init_on_cpu(student, jax.random.PRNGKey(0),
+                     pre(data["pixel_values"][:2]))["params"]
+    tp = init_on_cpu(teacher, jax.random.PRNGKey(1),
+                     pre(data["pixel_values"][:2]))["params"]
+    tx = make_optimizer(1e-4, trainable_mask=all_trainable(sp))
+    state = create_train_state(sp, tx)
+    make = (make_fast_distill_train_step if fused
+            else make_distill_train_step)
+    kw = {} if not fused else {"remat": None if remat else False}
+    step = make(student, teacher, tx, lambda_param=0.5, jasmin_k=10,
+                mse_full_path=True, use_distillation=True,
+                preprocess_fn=pre, donate=False, **kw)
+    state, mm = step(state, tp, data, jax.random.PRNGKey(2), True)
+    jax.block_until_ready(mm["loss"])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, mm = step(state, tp, data, jax.random.PRNGKey(2), True)
+        jax.block_until_ready(mm["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return {"mode": "distill_train", "batch": batch, "fused": fused,
+            "drop": drop, "remat": remat,
+            "step_ms": round(best * 1e3, 1),
+            "images_per_sec": round(batch / best, 1),
+            "loss": float(mm["loss"])}
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
@@ -90,7 +145,14 @@ if __name__ == "__main__":
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--drop", type=float, default=0.0)
+    ap.add_argument("--distill", action="store_true",
+                    help="TS-Base distillation step instead of free")
     a = ap.parse_args()
+    if a.distill:
+        print(json.dumps(bench_distill(
+            batch=min(a.batch, 64), iters=a.iters, fused=a.fused or True,
+            drop=a.drop, remat=not a.no_remat)))
+        sys.exit(0)
     if a.compare:
         for fused in (False, True):
             print(json.dumps(bench_free(
