@@ -141,6 +141,18 @@ def main():
             if best is None or ips > best[0]:
                 best = (ips, batch, name, dt / iters)
 
+    # fused TRAINING throughput (full fwd+bwd+AdamW, CE+JaSMin, B=1024)
+    # — the round-2 headline axis; details-only so the primary metric
+    # stays comparable across rounds
+    train = {}
+    try:
+        from benchmarks.train_speed import bench_free
+        r = bench_free(batch=1024, iters=6, fused=True)
+        train = {"train_images_per_sec": r["images_per_sec"],
+                 "train_step_ms": r["step_ms"]}
+    except Exception as e:                                # noqa: BLE001
+        train = {"train_error": str(e)[:160]}
+
     ips, batch, path, step_s = best
     per_step_ms = step_s / (model.num_eval_steps - 1) * 1e3
     print(json.dumps({
@@ -156,6 +168,7 @@ def main():
             "per_rk_step_latency_ms": round(per_step_ms, 4),
             "nfe": 48,
             "device": str(jax.devices()[0]),
+            **train,
         },
     }))
 

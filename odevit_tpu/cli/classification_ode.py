@@ -85,10 +85,27 @@ def main(cfg):
 
     jasmin_k = int(cfg.setup.dict.get("jasmin",
                                       cfg.setup.dict.get("jasmin_k", 10)))
-    step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
-                                   use_jasmin=(model_type == "vit"),
-                                   lr_schedule=sched,
-                                   preprocess_fn=preprocess)
+    # fused Pallas training path (1.93x the flax step on a v5e at CIFAR
+    # shapes): auto-selected on TPU when the config qualifies;
+    # `setup.dict.fused: true|false` overrides
+    from odevit_tpu.train.fast_steps import (fused_free_qualifies,
+                                             make_fast_free_train_step)
+    use_jasmin = model_type == "vit"
+    fused_cfg = cfg.setup.dict.get("fused", "auto")
+    fused = (fused_free_qualifies(model, use_jasmin=use_jasmin,
+                                  jasmin_k=jasmin_k)
+             and jax.default_backend() == "tpu"
+             if fused_cfg == "auto" else bool(fused_cfg))
+    if fused:
+        print("[train] fused Pallas training step selected")
+        step_fn = make_fast_free_train_step(
+            model, tx, jasmin_k=jasmin_k, lr_schedule=sched,
+            preprocess_fn=preprocess)
+    else:
+        step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
+                                       use_jasmin=use_jasmin,
+                                       lr_schedule=sched,
+                                       preprocess_fn=preprocess)
     eval_step = make_eval_step(model, preprocess_fn=preprocess)
 
     def bounds_fn(state):

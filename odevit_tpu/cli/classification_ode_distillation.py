@@ -116,8 +116,23 @@ def main(cfg):
             state = state.replace(params=jax.device_put(imported))
             print(f"Recovering training from reference checkpoint: {ref}")
 
+    # fused Pallas distillation step (euler-grid students; 1.3-2.3x the
+    # flax step on a v5e at TS-Base shapes): auto on TPU when the config
+    # qualifies; `modeling.student.dict.fused: true|false` overrides
+    from odevit_tpu.train.fast_steps import (fused_free_qualifies,
+                                             make_fast_distill_train_step)
+    fused_cfg = sd.get("fused", "auto")
+    fused = (fused_free_qualifies(student)
+             and student.solver == "euler"
+             and jax.default_backend() == "tpu"
+             if fused_cfg == "auto" else bool(fused_cfg))
+    if fused:
+        print("[train] fused Pallas distillation step selected")
+
     def make_step(tx):
-        return make_distill_train_step(
+        make = (make_fast_distill_train_step if fused
+                else make_distill_train_step)
+        return make(
             student, teacher, tx,
             lambda_param=float(sd.lambda_param),
             jasmin_k=int(sd.get("jasmin_k", 10)),

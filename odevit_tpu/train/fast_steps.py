@@ -550,6 +550,27 @@ def make_fast_distill_train_step(
                    **_fused_jit_kwargs())
 
 
+def fused_free_qualifies(model, *, use_jasmin: bool = True,
+                         jasmin_k: int = 10) -> bool:
+    """True when the fused free-training step supports this model
+    config: softmax-attention ViTODE without time conditioning, JaSMin
+    on, sequence long enough for the in-kernel/map JaSMin tail, and (for
+    nonzero drop rates) a solver whose in-kernel dropout staging exists.
+    Callers additionally gate on a TPU backend — off-TPU the kernels run
+    in interpreter mode and the flax path is faster."""
+    if not use_jasmin:
+        return False
+    if getattr(model, "l2_attention", False):
+        return False
+    if getattr(model, "time_conditioning", False):
+        return False
+    has_drop = any(float(d) > 0.0 for d in
+                   (model.attn_drop, model.proj_drop, model.mlp_drop))
+    if has_drop and model.solver not in ("euler", "rk4"):
+        return False
+    return True
+
+
 def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                               lr_schedule: Optional[Callable] = None,
                               preprocess_fn: Optional[Callable] = None,
