@@ -97,10 +97,16 @@ def main(cfg):
              and jax.default_backend() == "tpu"
              if fused_cfg == "auto" else bool(fused_cfg))
     if fused:
-        print("[train] fused Pallas training step selected")
+        # multi-device: DP via shard_map (kernels on local shards +
+        # pmean over ICI); TP meshes keep the flax/GSPMD path
+        dp_mesh = (mesh if mesh.shape.get("data", 1) > 1
+                   and mesh.shape.get("model", 1) == 1 else None)
+        print("[train] fused Pallas training step selected"
+              + (f" (DP x{mesh.shape['data']})" if dp_mesh is not None
+                 else ""))
         step_fn = make_fast_free_train_step(
             model, tx, jasmin_k=jasmin_k, lr_schedule=sched,
-            preprocess_fn=preprocess)
+            preprocess_fn=preprocess, mesh=dp_mesh)
     else:
         step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
                                        use_jasmin=use_jasmin,

@@ -576,8 +576,18 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                               preprocess_fn: Optional[Callable] = None,
                               use_pallas: bool = True,
                               block_b: int = 16, donate: bool = True,
-                              remat=None):
-    """Drop-in fused alternative to make_free_train_step (deterministic)."""
+                              remat=None, mesh=None,
+                              data_axis: str = "data"):
+    """Drop-in fused alternative to make_free_train_step.
+
+    With ``mesh``, the step runs data-parallel via shard_map over
+    ``data_axis``: each device runs the fused kernels on its local batch
+    shard, gradients/metrics are mean-reduced over ICI (psum), and the
+    replicated optimizer update is computed identically everywhere —
+    Pallas kernels see only local shapes, so the single-chip tiles (and
+    the scoped-VMEM budget) are unchanged. The dropout rng folds in the
+    device's data-axis index so shards draw independent masks.
+    """
 
     has_drop = any(float(d) > 0.0 for d in
                    (model.attn_drop, model.proj_drop, model.mlp_drop))
@@ -585,6 +595,9 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
     def step(state, batch, rng):
         if has_drop:
             rng = jax.random.fold_in(rng, state.step)
+            if mesh is not None:
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(data_axis))
         pixels = (preprocess_fn(batch["pixel_values"]) if preprocess_fn
                   else batch["pixel_values"])
 
@@ -598,13 +611,31 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        acc = _accuracy(aux["logits"], batch["labels"])
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            acc = jax.lax.pmean(acc, data_axis)
+            jl = jax.lax.pmean(aux["jasmin_loss"], data_axis)
+        else:
+            jl = aux["jasmin_loss"]
         new_state = state.apply_gradients(grads, tx)
-        metrics = {"loss": loss, "jasmin_loss": aux["jasmin_loss"],
-                   "acc": _accuracy(aux["logits"], batch["labels"]),
+        metrics = {"loss": loss, "jasmin_loss": jl, "acc": acc,
                    "grad_norm": optax_global_norm(grads)}
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else (),
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else (),
+                       **_fused_jit_kwargs())
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else (),
                    **_fused_jit_kwargs())

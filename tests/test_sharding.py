@@ -88,3 +88,44 @@ def test_multihost_helpers_single_process():
     assert mesh.shape["data"] == 4
     s = process_local_batch_slice(64)
     assert (s.stop - s.start) == 64
+
+
+def test_fused_train_step_dp_matches_single_device():
+    """The shard_map DP wrapper of the fused training step (Pallas
+    kernels on local shards + pmean over 'data') must reproduce the
+    single-device fused step: same loss, same updated params."""
+    from odevit_tpu.train.fast_steps import make_fast_free_train_step
+    from odevit_tpu.train.state import (all_trainable, create_train_state,
+                                        make_optimizer)
+    from odevit_tpu.utils.init_utils import init_on_cpu
+    from odevit_tpu.parallel.mesh import batch_sharding, replicated
+    import jax.flatten_util as fu
+    from odevit_tpu.models.vit_ode import ViTODE
+
+    rng = np.random.default_rng(0)
+    batch = {"pixel_values": jnp.asarray(
+                 rng.standard_normal((8, 16, 16, 3)), jnp.float32),
+             "labels": jnp.asarray(rng.integers(0, 10, 8))}
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+               mlp_ratio=2.0, num_classes=10, emulate_depth=12.0,
+               time_interval=1.0, num_eval_steps=5, solver="rk4",
+               register_tokens=2, pos_embed_register_tokens=False,
+               remat=False)
+    p = init_on_cpu(m, jax.random.PRNGKey(0),
+                    batch["pixel_values"][:2])["params"]
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(p))
+
+    s1, _ = make_fast_free_train_step(m, tx, jasmin_k=3, donate=False)(
+        create_train_state(p, tx), batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    s2, m2 = make_fast_free_train_step(
+        m, tx, jasmin_k=3, donate=False, mesh=mesh)(
+            create_train_state(jax.device_put(p, replicated(mesh)), tx),
+            jax.device_put(batch, batch_sharding(mesh)),
+            jax.random.PRNGKey(1))
+    f1, _ = fu.ravel_pytree(jax.device_get(s1.params))
+    f2, _ = fu.ravel_pytree(jax.device_get(s2.params))
+    rel = np.linalg.norm(f1 - f2) / (np.linalg.norm(f1) + 1e-12)
+    assert rel < 1e-4, rel
+    assert np.isfinite(float(m2["loss"]))
