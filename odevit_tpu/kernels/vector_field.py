@@ -903,12 +903,59 @@ BWD_SCOPED_VMEM_KIB = 32 * 1024
 BWD_VMEM_BUDGET = 24 * 1024 * 1024   # headroom under the raised limit;
 # also keeps the CIFAR estimate at bb=8 (bb=16 measured slower: 2,943)
 
+# Big-d shapes (ViT-Base: 28.3MB of f32 weight-grad accumulators alone)
+# step up to a 64MB scoped limit so the native backward can run at bb=1
+# instead of falling back to the XLA-twin vjp. v5e has 128MB VMEM/core;
+# 64MB scoped leaves half for XLA's own buffers.
+BWD_SCOPED_VMEM_KIB_BIG = 64 * 1024
+BWD_VMEM_BUDGET_BIG = 56 * 1024 * 1024
 
-def bwd_compiler_options():
+
+def _bwd_min_bytes(n, d, dh, num_heads, *, emit_attn=False,
+                   emit_jas=False):
+    """Estimated VMEM bytes of the combined backward at bb=1 (the
+    auto_block_b estimate specialized to one image)."""
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    weights = (3 * d * d + d * d + 2 * d * dh) * 2
+    per_img = 16 * n_pad * d + 6 * n_pad * dh + 12 * n_pad * n_pad
+    if emit_attn:
+        per_img += num_heads * n_pad * n_pad * 2
+    if emit_jas:
+        per_img += 24 * n_pad * n_pad
+    return 2 * weights + 2 * per_img + 2 * 3 * n_pad * d
+
+
+def bwd_vmem_plan(n, d, dh, num_heads, *, emit_attn=False,
+                  emit_jas=False):
+    """(scoped_vmem_kib, bwd_budget_bytes) for this vector-field shape:
+    the standard 32MB limit when the backward fits its 24MB budget at
+    some tile, stepping up to 64MB when only that makes even a one-image
+    tile feasible. Both the train-step jit (compiler options) and the
+    dispatch (auto_block_b budget) derive from this one function, so
+    they always agree."""
+    need = _bwd_min_bytes(n, d, dh, num_heads, emit_attn=emit_attn,
+                          emit_jas=emit_jas)
+    if need <= BWD_VMEM_BUDGET:
+        return BWD_SCOPED_VMEM_KIB, BWD_VMEM_BUDGET
+    # bigger shapes get the 64MB limit regardless of whether the
+    # combined kernel ultimately fits: the split fallback's chained
+    # kernels budget against the same plan, and the XLA-twin fallback
+    # is indifferent to the scoped limit
+    return BWD_SCOPED_VMEM_KIB_BIG, BWD_VMEM_BUDGET_BIG
+
+
+def bwd_compiler_options(n=None, d=None, dh=None, num_heads=None, *,
+                         emit_attn=False, emit_jas=True):
     """Compiler options every jit that differentiates through the fused
-    kernel must pass (see make_fast_*_train_step). Harmless for shapes
-    that fall back to the XLA-twin vjp."""
-    return {"xla_tpu_scoped_vmem_limit_kib": BWD_SCOPED_VMEM_KIB}
+    kernel must pass (see make_fast_*_train_step). With the vector-field
+    shape, picks the scoped limit from bwd_vmem_plan; without, returns
+    the standard 32MB limit. Harmless for shapes that fall back to the
+    XLA-twin vjp."""
+    if d is None:
+        return {"xla_tpu_scoped_vmem_limit_kib": BWD_SCOPED_VMEM_KIB}
+    kib, _ = bwd_vmem_plan(n, d, dh, num_heads, emit_attn=emit_attn,
+                           emit_jas=emit_jas)
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
 def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
@@ -934,7 +981,13 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
         weights *= 2                                  # w + w_bar accums
     # the jasmin-emitting paths run only under the train-step jits,
     # which raise the scoped-VMEM limit (bwd_compiler_options)
-    budget = (BWD_VMEM_BUDGET if (bwd or emit_jas) else VMEM_BUDGET)
+    if bwd:
+        budget = bwd_vmem_plan(n, d, dh, num_heads, emit_attn=emit_attn,
+                               emit_jas=emit_jas)[1]
+    elif emit_jas:
+        budget = BWD_VMEM_BUDGET
+    else:
+        budget = VMEM_BUDGET
     bb = max(requested, 1)
     while b % bb:
         bb //= 2

@@ -499,11 +499,11 @@ def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
     """(mlp_block_b, dh_chunk, attn_block_b) for the split backward, or
     None when even 1-image tiles don't fit. Estimates mirror each
     kernel's live set (see kernel docstrings). Each kernel gets the full
-    raised budget (BWD_VMEM_BUDGET): the two are chained through x_bar,
-    so their stack frames never coexist."""
-    from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
-                                                 BWD_VMEM_BUDGET
-                                                 as VMEM_BUDGET)
+    raised budget of the shape's scoped-VMEM plan: the two are chained
+    through x_bar, so their stack frames never coexist."""
+    from odevit_tpu.kernels.vector_field import TOKEN_PAD, bwd_vmem_plan
+    VMEM_BUDGET = bwd_vmem_plan(n, d, dh, num_heads,
+                                emit_attn=has_attn_bar)[1]
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
 
     # ---- MLP kernel: batch tile x hidden chunk ----

@@ -76,17 +76,26 @@ def _xla_dropout_eval(y, vf_params, seed, *, num_heads, scaler, n_real,
 HBM_RESIDUAL_BUDGET = 8 * 1024 ** 3   # half of a v5e's 16GB
 
 
-def _fused_jit_kwargs():
+def _fused_jit_kwargs(model=None):
     """Extra jax.jit kwargs for steps that differentiate through the
     fused kernel: on TPU, raise the scoped-VMEM limit so the backward
-    kernel can run its measured-fastest bb=8 tile (and the borderline
-    tiles stop being scheduler-flaky). CPU/interpret runs take no
-    options — the flag is TPU-only."""
+    kernel can run its measured-fastest tile (and the borderline tiles
+    stop being scheduler-flaky). With a ``model``, the limit steps up to
+    64MB at big-d shapes whose weight-grad accumulators exceed the 32MB
+    plan (ViT-Base: native bb=1 backward instead of the XLA-twin vjp).
+    CPU/interpret runs take no options — the flag is TPU-only."""
     import jax
     if jax.default_backend() != "tpu":
         return {}
     from odevit_tpu.kernels.vector_field import bwd_compiler_options
-    return {"compiler_options": bwd_compiler_options()}
+    if model is None:
+        return {"compiler_options": bwd_compiler_options()}
+    n = ((model.img_size // model.patch_size) ** 2 + 1
+         + model.register_tokens
+         + (1 if model.add_distillation_token else 0))
+    return {"compiler_options": bwd_compiler_options(
+        n, model.embed_dim, int(model.embed_dim * model.mlp_ratio),
+        model.num_heads)}
 
 
 def _auto_remat(model, batch: int, n: int, remat,
@@ -547,7 +556,7 @@ def make_fast_distill_train_step(
 
     return jax.jit(step, static_argnames=("supervise",),
                    donate_argnums=(0,) if donate else (),
-                   **_fused_jit_kwargs())
+                   **_fused_jit_kwargs(student))
 
 
 def fused_free_qualifies(model, *, use_jasmin: bool = True,
@@ -628,7 +637,7 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else (),
-                       **_fused_jit_kwargs())
+                       **_fused_jit_kwargs(model))
 
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -638,4 +647,4 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
         out_specs=(P(), P()),
         check_rep=False)
     return jax.jit(sharded, donate_argnums=(0,) if donate else (),
-                   **_fused_jit_kwargs())
+                   **_fused_jit_kwargs(model))

@@ -96,16 +96,22 @@ def test_bwd_dispatch_ladder():
     # fastest bb=8 under the raised scoped limit
     assert auto_block_b(1024, 69, 192, 768, 3, emit_attn=True,
                         requested=16, bwd=True) == 8
-    # long-sequence mid-width (d=512, r=4, n=400): combined can't fit
-    # one image, the chained split kernels can
-    assert auto_block_b(64, 400, 512, 2048, 8, emit_attn=True,
-                        requested=16, bwd=True) == 0
-    assert _split_tiles(64, 400, 512, 2048, 8, has_attn_bar=True,
-                        has_drop=False, requested=16) is not None
-    # ViT-Base (d=768, r=4, n=208): neither fits -> XLA twin fallback
+    # ViT-Base (d=768, r=4, n=208): the 64MB scoped-VMEM plan fits the
+    # combined kernel at bb=1 (the TS-Base training path)
+    from odevit_tpu.kernels.vector_field import bwd_vmem_plan
+    assert bwd_vmem_plan(208, 768, 3072, 12, emit_attn=True)[0] == 65536
     assert auto_block_b(64, 208, 768, 3072, 12, emit_attn=True,
+                        requested=16, bwd=True) == 1
+    # long-sequence mid-width (d=512, r=4, n=720): combined can't fit
+    # one image even under the 64MB plan; the chained split kernels can
+    assert auto_block_b(64, 720, 512, 2048, 8, emit_attn=True,
                         requested=16, bwd=True) == 0
-    assert _split_tiles(64, 208, 768, 3072, 12, has_attn_bar=True,
+    assert _split_tiles(64, 720, 512, 2048, 8, has_attn_bar=True,
+                        has_drop=False, requested=16) is not None
+    # beyond even the split kernels (d=1280): XLA-twin fallback
+    assert auto_block_b(64, 208, 1280, 5120, 16, emit_attn=True,
+                        requested=16, bwd=True) == 0
+    assert _split_tiles(64, 208, 1280, 5120, 16, has_attn_bar=True,
                         has_drop=False, requested=16) is None
 
 
