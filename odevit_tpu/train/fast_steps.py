@@ -6,13 +6,12 @@ lax.scan; numerics match the flax step exactly (tested).
 
 STATUS (measured, v5e, authoritative record in ARCHITECTURE.md): with
 the native Pallas backward kernel (kernels/vector_field_bwd.py, all 9
-cotangents parity-tested vs the XLA vjp) plus the JaSMin tail-split,
-this fused step LEADS the flax path at production batch: 2,409 vs
-2,028 img/s @ B=1024 rk4x13 CIFAR (re-measured round 2). At small
-batch (B=256) the flax path can still win — the backward tile runs at
-1/4 block to fit VMEM and remat forces forward-kernel stage recomputes.
-Remaining levers: chunked-hidden backward (bigger tiles), euler-fused
-training (fewer stage recomputes).
+cotangents parity-tested vs the XLA vjp), the in-kernel JaSMin order
+statistics, auto-remat, and the shape-aware scoped-VMEM plan, this
+fused step leads the flax path at every measured config: 3,691 vs
+1,910 img/s @ B=1024 rk4x13 CIFAR (1.93x), 2,690 vs 1,993 @ B=256
+(1.35x), 160.3 vs 94.1 @ TS-Base euler-36 (1.70x); dropout configs
+widen the gap further (5.9x at CIFAR drop 0.3).
 
 Constraints (asserted): softmax attention, no time conditioning.
 Dropout (attn/proj/mlp) IS supported: in-kernel pltpu hardware prng with
