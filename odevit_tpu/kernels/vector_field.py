@@ -1054,14 +1054,83 @@ def _fused_vf_l2_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
 
 
 def _fused_vf_l2_bwd(num_heads, scaler, block_b, n_real, residuals, g):
-    ref = functools.partial(_xla_reference, num_heads=num_heads,
-                            scaler=scaler, n_real=n_real,
-                            l2_attention=True)
-    _, vjp = jax.vjp(ref, *residuals)
-    return vjp(g)
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, qkv_bias, out_bias = residuals
+    return pallas_vf_bwd(*tensors, g, num_heads=num_heads, scaler=scaler,
+                         block_b=block_b, n_real=n_real,
+                         qkv_bias=qkv_bias, out_bias=out_bias,
+                         l2_attention=True)
 
 
 fused_vf_l2.defvjp(_fused_vf_l2_fwd, _fused_vf_l2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def fused_vf_l2_jasmin(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                       qkv_bias, out_bias, num_heads: int, scaler: float,
+                       block_b: int, n_real: int, jas_k: int):
+    """fused_vf_l2 that also returns the JaSMin order-statistics tensor
+    (see fused_vf_jasmin) — the L2 training fast path."""
+    return _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                           w1, w2, qkv_bias, out_bias,
+                           num_heads=num_heads, scaler=scaler,
+                           block_b=block_b, n_real=n_real,
+                           l2_attention=True,
+                           jas_kk=max(jas_k, 1) + 1)
+
+
+def _fused_vf_l2_jasmin_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                            w1, w2, qkv_bias, out_bias, num_heads,
+                            scaler, block_b, n_real, jas_k):
+    out = fused_vf_l2_jasmin(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                             w1, w2, qkv_bias, out_bias, num_heads,
+                             scaler, block_b, n_real, jas_k)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                 qkv_bias, out_bias)
+
+
+def _fused_vf_l2_jasmin_bwd(num_heads, scaler, block_b, n_real, jas_k,
+                            residuals, g):
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, qkv_bias, out_bias = residuals
+    g_dx, g_jas = g
+    return pallas_vf_bwd(*tensors, g_dx, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real,
+                         g_jas=g_jas, jas_k=jas_k, qkv_bias=qkv_bias,
+                         out_bias=out_bias, l2_attention=True)
+
+
+fused_vf_l2_jasmin.defvjp(_fused_vf_l2_jasmin_fwd, _fused_vf_l2_jasmin_bwd)
+
+
+def fused_vf_l2_jasmin_from_params(x, vf_params, *, num_heads: int,
+                                   scaler: float, jas_k: int,
+                                   block_b: int = 16,
+                                   use_pallas: bool = True,
+                                   n_real: int = 0):
+    """(dx, jas_stats) for the L2 vector field (see
+    fused_vf_jasmin_from_params)."""
+    from odevit_tpu.losses.jasmin import jasmin_order_stats
+    a = vf_params["attn"]
+    wqkv = jnp.concatenate([a["q_kernel"], a["k_kernel"], a["v_kernel"]],
+                           axis=1)
+    qkv_bias = jnp.concatenate([a["q_bias"], a["k_bias"], a["v_bias"]])
+    args = (x,
+            vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
+            vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
+            wqkv, a["out_kernel"],
+            vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
+            qkv_bias, a["out_bias"])
+    if use_pallas:
+        bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
+                          vf_params["mlp"]["fc1_kernel"].shape[-1],
+                          num_heads, emit_jas=True, requested=block_b)
+        return fused_vf_l2_jasmin(*args, num_heads, scaler, bb,
+                                  n_real or x.shape[1], jas_k)
+    dx, attn = _xla_reference(*args, num_heads=num_heads, scaler=scaler,
+                              n_real=n_real, return_attn=True,
+                              l2_attention=True)
+    return dx, jasmin_order_stats(attn, jas_k)
 
 
 def fused_vf_l2_from_params(x, vf_params, *, num_heads: int, scaler: float,

@@ -29,8 +29,10 @@ Derivation sketch (per evaluation, lambda = drift scaler):
              gamma_bar += sum(a_bar * c); beta_bar += sum(a_bar)
              x_bar = s * (c_bar - mean(c_bar, -1))
 
-Softmax-attention only (the training fast path); biased/L2 variants keep
-the XLA-twin backward.
+Covers both attention variants: softmax and the L2-distance form
+(exp(-||q-k||^2 tau) row-normalized, biased projections) — the
+combined kernel takes l2_attention/has_bias flags and additionally
+emits the bias cotangents. The split path remains softmax-only.
 """
 
 from __future__ import annotations
@@ -64,14 +66,21 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                    block_b: int, has_attn_bar: bool,
                    attn_drop: float = 0.0, proj_drop: float = 0.0,
                    mlp_drop: float = 0.0, has_seed: bool = False,
-                   jas_kk: int = 0):
+                   jas_kk: int = 0, l2_attention: bool = False,
+                   has_bias: bool = False):
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
     gjas_ref = refs.pop(0) if jas_kk else None
     seed_ref = refs.pop(0) if has_seed else None
+    qkvb_ref = refs.pop(0) if has_bias else None
+    outb_ref = refs.pop(0) if has_bias else None
     (xbar_ref, wqkvbar_ref, woutbar_ref, w1bar_ref, w2bar_ref,
      cnasbar_ref, cnabbar_ref, cnmsbar_ref, cnmbbar_ref) = refs[:9]
-    ctx_scratch, qkvbar_scratch = refs[9:]
+    refs = refs[9:]
+    if has_bias:
+        qkvbbar_ref, outbbar_ref = refs[:2]
+        refs = refs[2:]
+    ctx_scratch, qkvbar_scratch = refs
 
     rows, d = x_ref.shape
     n_pad = rows // block_b
@@ -90,6 +99,9 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         cnabbar_ref[:] = jnp.zeros_like(cnabbar_ref)
         cnmsbar_ref[:] = jnp.zeros_like(cnmsbar_ref)
         cnmbbar_ref[:] = jnp.zeros_like(cnmbbar_ref)
+        if has_bias:
+            qkvbbar_ref[:] = jnp.zeros_like(qkvbbar_ref)
+            outbbar_ref[:] = jnp.zeros_like(outbbar_ref)
 
     seed = seed_ref[0] if has_seed else None
     img0 = pl.program_id(0) * block_b if has_seed else None
@@ -108,8 +120,10 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         mask_h = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
                           n_pad, h.shape[-1])
         h = (h.astype(f32) * mask_h).astype(dtype)
-    qkv = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32
-                  ).astype(dtype).reshape(block_b, n_pad, 3 * d)
+    qkv32 = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32)
+    if has_bias:
+        qkv32 = qkv32 + qkvb_ref[0]
+    qkv = qkv32.astype(dtype).reshape(block_b, n_pad, 3 * d)
 
     key_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
                 < n_real).astype(f32)[None]
@@ -148,6 +162,9 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         gd_attn = g_ao.astype(dtype)
     else:
         gd_attn = g.astype(dtype)
+    if has_bias:
+        outbbar_ref[:] += jnp.sum(gd_attn.astype(f32), axis=0,
+                                  keepdims=True)
     ctx_bar = jax.lax.dot_general(gd_attn, wout_ref[:],
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=f32
@@ -156,11 +173,22 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         q = qkv[:, :, hh * hd:(hh + 1) * hd].astype(f32)
         k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(f32)
         v = qkv[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
-        s = jax.lax.dot_general(q * tau, k, bdims,
-                                preferred_element_type=f32)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s) * key_mask
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if l2_attention:
+            # exp(-||q-k||^2 tau) row-normalized (matches the forward's
+            # expanded-form distance)
+            qk = jax.lax.dot_general(q, k, bdims,
+                                     preferred_element_type=f32)
+            q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+            k2 = jnp.sum(k * k, axis=-1)[:, None, :]
+            e = jnp.exp(-(q2 + k2 - 2.0 * qk) * tau) * key_mask
+            esum = jnp.sum(e, axis=-1, keepdims=True) + 1e-8
+            p = e / esum
+        else:
+            s = jax.lax.dot_general(q * tau, k, bdims,
+                                    preferred_element_type=f32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s) * key_mask
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
         if attn_drop > 0.0:
             mask_p = _mask_p(attn_drop, seed, hh, img0, block_b, n_pad)
             p_used = (p * mask_p).astype(dtype)
@@ -224,15 +252,33 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             p_used, cb_h,
             (((1,), (1,)), ((0,), (0,))),                 # p^T @ cb_h
             preferred_element_type=f32)
-        s_bar = p * (p_bar - jnp.sum(p_bar * p, axis=-1, keepdims=True))
-        s_bar = (s_bar * key_mask).astype(dtype)
-        q_bar = jax.lax.dot_general(
-            s_bar, k.astype(dtype), pdims,
-            preferred_element_type=f32) * tau
-        k_bar = jax.lax.dot_general(
-            s_bar, (q * tau).astype(dtype),
-            (((1,), (1,)), ((0,), (0,))),                 # s_bar^T q tau
-            preferred_element_type=f32)
+        if l2_attention:
+            # p = e/(sum e + eps): e_bar = (p_bar - <p_bar, p>)/esum;
+            # dist2 = q^2 + k^2 - 2 q.k with e = exp(-dist2 tau)
+            e_bar = (p_bar - jnp.sum(p_bar * p, axis=-1, keepdims=True)
+                     ) / esum
+            d2b = (-tau) * e * e_bar
+            d2b_d = d2b.astype(dtype)
+            q_bar = (2.0 * q * jnp.sum(d2b, axis=-1, keepdims=True)
+                     - 2.0 * jax.lax.dot_general(
+                         d2b_d, k.astype(dtype), pdims,
+                         preferred_element_type=f32))
+            k_bar = (2.0 * k * jnp.sum(d2b, axis=1)[:, :, None]
+                     - 2.0 * jax.lax.dot_general(
+                         d2b_d, q.astype(dtype),
+                         (((1,), (1,)), ((0,), (0,))),    # d2b^T q
+                         preferred_element_type=f32))
+        else:
+            s_bar = p * (p_bar - jnp.sum(p_bar * p, axis=-1,
+                                         keepdims=True))
+            s_bar = (s_bar * key_mask).astype(dtype)
+            q_bar = jax.lax.dot_general(
+                s_bar, k.astype(dtype), pdims,
+                preferred_element_type=f32) * tau
+            k_bar = jax.lax.dot_general(
+                s_bar, (q * tau).astype(dtype),
+                (((1,), (1,)), ((0,), (0,))),             # s_bar^T q tau
+                preferred_element_type=f32)
         qkvbar_scratch[:, :, hh * hd:(hh + 1) * hd] = q_bar.astype(dtype)
         qkvbar_scratch[:, :, d + hh * hd:d + (hh + 1) * hd] = \
             k_bar.astype(dtype)
@@ -245,6 +291,9 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         preferred_element_type=f32)
 
     qkv_bar2d = qkvbar_scratch[:].reshape(rows, 3 * d)
+    if has_bias:
+        qkvbbar_ref[:] += jnp.sum(qkv_bar2d.astype(f32), axis=0,
+                                  keepdims=True)
     a_bar = jax.lax.dot_general(qkv_bar2d, wqkv_ref[:],
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=f32)
@@ -460,7 +509,8 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
 def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                       g_dx, g_attn, *, num_heads, scaler, n_real,
                       seed, attn_drop, proj_drop, mlp_drop,
-                      g_jas=None, jas_k: int = 0):
+                      g_jas=None, jas_k: int = 0, qkv_bias=None,
+                      out_bias=None, l2_attention: bool = False):
     from odevit_tpu.kernels.vector_field import (_xla_reference,
                                                  generate_dropout_masks)
     from odevit_tpu.losses.jasmin import jasmin_order_stats
@@ -473,18 +523,25 @@ def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             b, n, d, w1.shape[-1], num_heads, seed,
             attn_drop=attn_drop, proj_drop=proj_drop, mlp_drop=mlp_drop)
     want_attn = g_attn is not None or g_jas is not None
+    has_bias = qkv_bias is not None
 
-    def f(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_, wout_, w1_, w2_):
+    def f(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_, wout_, w1_, w2_,
+          *biases):
         out = _xla_reference(x_, cna_s_, cna_b_, cnm_s_, cnm_b_, wqkv_,
-                             wout_, w1_, w2_, num_heads=num_heads,
+                             wout_, w1_, w2_, *biases,
+                             num_heads=num_heads,
                              scaler=scaler, n_real=n_real,
-                             return_attn=want_attn, masks=masks)
+                             return_attn=want_attn, masks=masks,
+                             l2_attention=l2_attention)
         if g_jas is not None:
             dx_, attn_ = out
             return dx_, jasmin_order_stats(attn_, jas_k)
         return out
 
-    _, vjp = jax.vjp(f, x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
+    operands = (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
+    if has_bias:
+        operands = operands + (qkv_bias, out_bias)
+    _, vjp = jax.vjp(f, *operands)
     if g_jas is not None:
         g = (g_dx, g_jas)
     elif g_attn is not None:
@@ -665,7 +722,9 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                   g_dx, g_attn=None, *, num_heads: int, scaler: float,
                   block_b: int, n_real: int = 0, seed=None,
                   attn_drop: float = 0.0, proj_drop: float = 0.0,
-                  mlp_drop: float = 0.0, g_jas=None, jas_k: int = 0):
+                  mlp_drop: float = 0.0, g_jas=None, jas_k: int = 0,
+                  qkv_bias=None, out_bias=None,
+                  l2_attention: bool = False):
     """Backward pass of the fused evaluation.
 
     Args mirror the forward; ``g_dx`` is the dx cotangent [B, N, D] and
@@ -700,13 +759,17 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     n_real = n_real or n
     has_drop = attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0
     has_jas = g_jas is not None
+    has_bias = qkv_bias is not None
+    assert not (l2_attention and has_drop), \
+        "native L2 backward is deterministic-only (no L2 dropout kernel)"
     # the backward holds ~2-3x the forward's live intermediates
     # (recompute + cotangents); size the tile from the VMEM estimate
     combined_bb = auto_block_b(b, n, d, dh, num_heads,
                                emit_attn=g_attn is not None,
                                emit_jas=has_jas,
                                requested=block_b, bwd=True)
-    if combined_bb == 0 and not has_jas:
+    if combined_bb == 0 and not has_jas and not has_bias \
+            and not l2_attention:
         tiles = _split_tiles(b, n, d, dh, num_heads,
                              has_attn_bar=g_attn is not None,
                              has_drop=has_drop, requested=block_b)
@@ -726,7 +789,9 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
             g_attn, num_heads=num_heads, scaler=scaler, n_real=n_real,
             seed=seed, attn_drop=attn_drop, proj_drop=proj_drop,
-            mlp_drop=mlp_drop, g_jas=g_jas, jas_k=jas_k)
+            mlp_drop=mlp_drop, g_jas=g_jas, jas_k=jas_k,
+            qkv_bias=qkv_bias, out_bias=out_bias,
+            l2_attention=l2_attention)
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n), (0, 0))
@@ -760,7 +825,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         proj_drop=proj_drop if has_seed else 0.0,
         mlp_drop=mlp_drop if has_seed else 0.0,
         has_seed=has_seed,
-        jas_kk=(max(jas_k, 1) + 1) if has_jas else 0)
+        jas_kk=(max(jas_k, 1) + 1) if has_jas else 0,
+        l2_attention=l2_attention, has_bias=has_bias)
 
     in_specs = [
         pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -790,6 +856,11 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(seed, jnp.int32).reshape(1))
+    if has_bias:
+        in_specs += [pl.BlockSpec((1, 3 * d), mat, memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)]
+        operands += [qkv_bias[None].astype(jnp.float32),
+                     out_bias[None].astype(jnp.float32)]
 
     f32 = jnp.float32
     out_specs = (
@@ -814,6 +885,15 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         jax.ShapeDtypeStruct((1, d), f32),
         jax.ShapeDtypeStruct((1, d), f32),
     )
+    if has_bias:
+        out_specs = out_specs + (
+            pl.BlockSpec((1, 3 * d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+        )
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((1, 3 * d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+        )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -828,7 +908,11 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     )(*operands)
 
     (xbar2d, wqkv_bar, wout_bar, w1_bar, w2_bar,
-     cnas_bar, cnab_bar, cnms_bar, cnmb_bar) = outs
+     cnas_bar, cnab_bar, cnms_bar, cnmb_bar) = outs[:9]
     x_bar = xbar2d.reshape(b, n_pad, d)[:, :n, :].astype(x.dtype)
-    return (x_bar, cnas_bar[0], cnab_bar[0], cnms_bar[0], cnmb_bar[0],
+    bars = (x_bar, cnas_bar[0], cnab_bar[0], cnms_bar[0], cnmb_bar[0],
             wqkv_bar, wout_bar, w1_bar, w2_bar)
+    if has_bias:
+        qkvb_bar, outb_bar = outs[9:]
+        bars = bars + (qkvb_bar[0], outb_bar[0])
+    return bars

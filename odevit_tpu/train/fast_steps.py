@@ -138,13 +138,16 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     (different generators — documented semantics). Without ``rng`` the
     deterministic kernels run and drop rates must be zero.
     """
-    assert not model.l2_attention and not model.time_conditioning
+    assert not model.time_conditioning
+    l2 = bool(model.l2_attention)
     drops = (float(model.attn_drop), float(model.proj_drop),
              float(model.mlp_drop))
     has_drop = any(d > 0.0 for d in drops) and rng is not None
     if any(d > 0.0 for d in drops) and rng is None:
         raise ValueError("model has dropout; pass rng= (or use the flax "
                          "path for deterministic eval)")
+    assert not (l2 and has_drop), \
+        "the fused L2 path is deterministic-only (use the flax step)"
     if has_drop:
         assert use_pallas, "in-kernel dropout requires the Pallas path"
         assert model.solver in ("euler", "rk4"), model.solver
@@ -155,10 +158,20 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     scaler = drift_scaler(model.emulate_depth, model.time_interval)
     # JaSMin via in-kernel order statistics whenever the sequence is
     # long enough for the k+1 extraction passes (tiny models fall back
-    # to the map-emitting path)
+    # to the map-emitting path; the L2 fast path requires the stats
+    # route — it has no map-emitting training wrapper)
     stats_ok = n >= max(jasmin_k, 1) + 1
+    assert stats_ok or not l2, "L2 fast path needs n > jasmin_k + 1"
 
     def f(t, y):
+        if l2:
+            from odevit_tpu.kernels.vector_field import \
+                fused_vf_l2_jasmin_from_params
+            dx, st = fused_vf_l2_jasmin_from_params(
+                y, params["vf"], num_heads=model.num_heads,
+                scaler=scaler, jas_k=jasmin_k, block_b=block_b,
+                use_pallas=use_pallas, n_real=n)
+            return dx, jasmin_from_stats(st, jasmin_k)
         if stats_ok:
             dx, st = fused_vf_jasmin_from_params(
                 y, params["vf"], num_heads=model.num_heads,
@@ -179,9 +192,18 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     ts = np.linspace(0.0, model.time_interval, model.num_eval_steps)
 
     def f_plain(t, y):
-        dx = fused_vf_from_params(
-            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-            block_b=block_b, use_pallas=use_pallas, n_real=n)
+        if l2:
+            from odevit_tpu.kernels.vector_field import \
+                fused_vf_l2_from_params
+            dx = fused_vf_l2_from_params(
+                y, params["vf"], num_heads=model.num_heads,
+                scaler=scaler, block_b=block_b, use_pallas=use_pallas,
+                n_real=n)
+        else:
+            dx = fused_vf_from_params(
+                y, params["vf"], num_heads=model.num_heads,
+                scaler=scaler, block_b=block_b, use_pallas=use_pallas,
+                n_real=n)
         return dx, jnp.zeros(())
 
     # --- dropout variants: explicit per-stage seeds -------------------
@@ -568,12 +590,13 @@ def fused_free_qualifies(model, *, use_jasmin: bool = True,
     in interpreter mode and the flax path is faster."""
     if not use_jasmin:
         return False
-    if getattr(model, "l2_attention", False):
-        return False
     if getattr(model, "time_conditioning", False):
         return False
     has_drop = any(float(d) > 0.0 for d in
                    (model.attn_drop, model.proj_drop, model.mlp_drop))
+    if getattr(model, "l2_attention", False):
+        # fused L2 is deterministic-only and requires the stats route
+        return not has_drop
     if has_drop and model.solver not in ("euler", "rk4"):
         return False
     return True

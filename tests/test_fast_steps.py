@@ -153,3 +153,33 @@ def test_fast_distill_step_matches_flax_step():
                     jax.tree_util.tree_leaves(s_flax.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-3)
+
+
+def test_fast_step_l2_grads_match_flax_step():
+    """The L2-attention fused training path (fused_vf_l2_jasmin +
+    native L2/bias backward kernel) must reproduce the flax step."""
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+               mlp_ratio=2.0, num_classes=7, emulate_depth=4,
+               time_interval=1.0, num_eval_steps=5, solver="rk4",
+               register_tokens=2, remat=False, l2_attention=True)
+    rng = np.random.default_rng(0)
+    batch = {"pixel_values": jnp.asarray(
+                 rng.standard_normal((8, 16, 16, 3)).astype(np.float32)),
+             "labels": jnp.asarray(rng.integers(0, 7, 8))}
+    params = m.init(jax.random.PRNGKey(0), batch["pixel_values"])["params"]
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(params))
+
+    s_flax = create_train_state(params, tx)
+    flax_step = make_free_train_step(m, tx, jasmin_k=2, donate=False)
+    s_flax, m_flax = flax_step(s_flax, batch, jax.random.PRNGKey(1))
+
+    s_fast = create_train_state(params, tx)
+    fast_step = make_fast_free_train_step(m, tx, jasmin_k=2, donate=False)
+    s_fast, m_fast = fast_step(s_fast, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_fast["loss"]), float(m_flax["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_fast.params),
+                    jax.tree_util.tree_leaves(s_flax.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-3)

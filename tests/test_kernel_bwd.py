@@ -182,3 +182,35 @@ def test_split_bwd_dropout_matches_combined():
     for i, (a, c) in enumerate(zip(split, comb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-4, rtol=2e-3, err_msg=str(i))
+
+
+def test_l2_bias_bwd_matches_xla_vjp():
+    """Native L2-attention backward (biased projections): all 11
+    cotangents vs the XLA-twin vjp."""
+    from odevit_tpu.kernels.vector_field import fused_vf_l2, _xla_reference
+
+    B, N, D, H, DH = 4, 21, 32, 2, 64
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+
+    def w(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+
+    args = (x, w(D), w(D), w(D), w(D), w(D, 3 * D), w(D, D), w(D, DH),
+            w(DH, D), w(3 * D), w(D))
+    probe = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+
+    def loss_native(*a):
+        return jnp.sum(fused_vf_l2(*a, H, 2.0, 2, N - 4) * probe)
+
+    def loss_twin(*a):
+        return jnp.sum(_xla_reference(*a, num_heads=H, scaler=2.0,
+                                      n_real=N - 4, l2_attention=True)
+                       * probe)
+
+    gn = jax.grad(loss_native, argnums=tuple(range(11)))(*args)
+    gt = jax.grad(loss_twin, argnums=tuple(range(11)))(*args)
+    for i, (a, b) in enumerate(zip(gn, gt)):
+        denom = np.linalg.norm(np.asarray(b, np.float32)) + 1e-12
+        rel = np.linalg.norm(np.asarray(a - b, np.float32)) / denom
+        assert rel < 1e-5, (i, rel)
