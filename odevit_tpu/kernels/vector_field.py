@@ -16,12 +16,14 @@ exactly equal to the unpadded computation; padded rows evolve
 independently and are sliced away. CenterNorm/MLP are per-token, so
 padding is invisible to them.
 
-Scope: the softmax-attention ParallelVectorField forward (the hot path of
-bench/inference and of the distillation student when diagnostics are
-off), deterministic (no dropout), no attention-map output. Differentiable
-via custom_vjp: the backward recomputes through the pure-XLA reference
-implementation, so training can use the fast kernel forward with a
-correct (slower) backward.
+Scope: the ParallelVectorField evaluation in every training/serving
+flavor — softmax or L2-distance attention (biased projections for L2),
+optional attention-map output, optional in-kernel JaSMin order
+statistics (the maps never leave VMEM), optional in-kernel pltpu
+dropout, optional fused Euler update for serving. Differentiable via
+custom_vjp backed by the native backward kernel
+(kernels/vector_field_bwd.py) under a shape-aware scoped-VMEM plan
+(bwd_vmem_plan); shapes beyond the plan fall back to the XLA-twin vjp.
 
 Numerics: centering + means + softmax + all matmul accumulation in f32;
 activations stored bf16 between ops (matching the XLA path's dtype policy
