@@ -89,29 +89,47 @@ def main(cfg):
     # shapes): auto-selected on TPU when the config qualifies;
     # `setup.dict.fused: true|false` overrides
     from odevit_tpu.train.fast_steps import (fused_free_qualifies,
-                                             make_fast_free_train_step)
+                                             make_fast_free_train_step,
+                                             make_fast_macaron_train_step)
     use_jasmin = model_type == "vit"
     fused_cfg = cfg.setup.dict.get("fused", "auto")
-    fused = (fused_free_qualifies(model, use_jasmin=use_jasmin,
-                                  jasmin_k=jasmin_k)
-             and jax.default_backend() == "tpu"
-             if fused_cfg == "auto" else bool(fused_cfg))
-    if fused:
-        # multi-device: DP via shard_map (kernels on local shards +
-        # pmean over ICI); TP meshes keep the flax/GSPMD path
-        dp_mesh = (mesh if mesh.shape.get("data", 1) > 1
-                   and mesh.shape.get("model", 1) == 1 else None)
-        print("[train] fused Pallas training step selected"
-              + (f" (DP x{mesh.shape['data']})" if dp_mesh is not None
-                 else ""))
-        step_fn = make_fast_free_train_step(
-            model, tx, jasmin_k=jasmin_k, lr_schedule=sched,
-            preprocess_fn=preprocess, mesh=dp_mesh)
+    if model_type == "macaron":
+        det = all(float(d) == 0.0 for d in
+                  (model.attn_drop, model.proj_drop, model.mlp_drop))
+        fused = (det and jax.default_backend() == "tpu"
+                 if fused_cfg == "auto" else bool(fused_cfg))
+        if fused:
+            print("[train] fused Pallas macaron training step selected")
+            step_fn = make_fast_macaron_train_step(
+                model, tx, lr_schedule=sched, preprocess_fn=preprocess)
+        else:
+            step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
+                                           use_jasmin=False,
+                                           lr_schedule=sched,
+                                           preprocess_fn=preprocess)
     else:
-        step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
-                                       use_jasmin=use_jasmin,
-                                       lr_schedule=sched,
-                                       preprocess_fn=preprocess)
+        if fused_cfg == "auto":
+            fused = (fused_free_qualifies(model, use_jasmin=use_jasmin,
+                                          jasmin_k=jasmin_k)
+                     and jax.default_backend() == "tpu")
+        else:
+            fused = bool(fused_cfg)
+        if fused:
+            # multi-device: DP via shard_map (kernels on local shards +
+            # pmean over ICI); TP meshes keep the flax/GSPMD path
+            dp_mesh = (mesh if mesh.shape.get("data", 1) > 1
+                       and mesh.shape.get("model", 1) == 1 else None)
+            print("[train] fused Pallas training step selected"
+                  + (f" (DP x{mesh.shape['data']})" if dp_mesh is not None
+                     else ""))
+            step_fn = make_fast_free_train_step(
+                model, tx, jasmin_k=jasmin_k, lr_schedule=sched,
+                preprocess_fn=preprocess, mesh=dp_mesh)
+        else:
+            step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
+                                           use_jasmin=use_jasmin,
+                                           lr_schedule=sched,
+                                           preprocess_fn=preprocess)
     eval_step = make_eval_step(model, preprocess_fn=preprocess)
 
     def bounds_fn(state):

@@ -90,7 +90,7 @@ def _fused_jit_kwargs(model=None):
     if model is None:
         return {"compiler_options": bwd_compiler_options()}
     n = ((model.img_size // model.patch_size) ** 2 + 1
-         + model.register_tokens
+         + getattr(model, "register_tokens", 0)
          + (1 if model.add_distillation_token else 0))
     return {"compiler_options": bwd_compiler_options(
         n, model.embed_dim, int(model.embed_dim * model.mlp_ratio),
@@ -578,6 +578,49 @@ def make_fast_distill_train_step(
     return jax.jit(step, static_argnames=("supervise",),
                    donate_argnums=(0,) if donate else (),
                    **_fused_jit_kwargs(student))
+
+
+def make_fast_macaron_train_step(model, tx, *,
+                                 lr_schedule: Optional[Callable] = None,
+                                 preprocess_fn: Optional[Callable] = None,
+                                 use_pallas: bool = True,
+                                 block_b: int = 16, donate: bool = True):
+    """Fused free-training step for ViTMacaron (CE only — the macaron
+    family exposes no attention maps/JaSMin, mirroring the reference):
+    forward through fast_forward_macaron (fused Macaron kernel inside
+    the solver scan), backward through the native Macaron kernel
+    (kernels/macaron.pallas_macaron_bwd). Deterministic — macaron
+    configs train without dropout; nonzero drop rates must use the flax
+    step."""
+    from odevit_tpu.models.fast_forward import fast_forward_macaron
+
+    assert all(float(d) == 0.0 for d in
+               (model.attn_drop, model.proj_drop, model.mlp_drop)), \
+        "fused macaron step is deterministic-only"
+
+    def step(state, batch, rng):
+        pixels = (preprocess_fn(batch["pixel_values"]) if preprocess_fn
+                  else batch["pixel_values"])
+
+        def loss_fn(params):
+            out = fast_forward_macaron(model, params, pixels,
+                                       block_b=block_b,
+                                       use_pallas=use_pallas)
+            loss = cross_entropy(out["logits"], batch["labels"])
+            return loss, out["logits"]
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, tx)
+        metrics = {"loss": loss, "jasmin_loss": jnp.zeros(()),
+                   "acc": _accuracy(logits, batch["labels"]),
+                   "grad_norm": optax_global_norm(grads)}
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   **_fused_jit_kwargs(model))
 
 
 def fused_free_qualifies(model, *, use_jasmin: bool = True,

@@ -183,3 +183,39 @@ def test_fast_step_l2_grads_match_flax_step():
                     jax.tree_util.tree_leaves(s_flax.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-3)
+
+
+def test_fast_macaron_step_matches_flax_step():
+    """Adam amplifies f32 accumulation-order noise on near-zero bias
+    grads, hence the 2e-4 atol (loss/grad-norm agree to 7 digits)."""
+    """The fused Macaron training step (fast_forward_macaron + native
+    Macaron backward) must reproduce the flax step."""
+    from odevit_tpu.models.macaron import ViTMacaron
+    from odevit_tpu.train.fast_steps import make_fast_macaron_train_step
+
+    m = ViTMacaron(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2.0, num_classes=7, emulate_depth=4,
+                   time_interval=4.0, num_eval_steps=5, solver="rk4",
+                   learn_ivp=True, remat=False)
+    rng = np.random.default_rng(0)
+    batch = {"pixel_values": jnp.asarray(
+                 rng.standard_normal((8, 16, 16, 3)).astype(np.float32)),
+             "labels": jnp.asarray(rng.integers(0, 7, 8))}
+    params = m.init(jax.random.PRNGKey(0), batch["pixel_values"])["params"]
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(params))
+
+    s_flax = create_train_state(params, tx)
+    flax_step = make_free_train_step(m, tx, use_jasmin=False,
+                                     donate=False)
+    s_flax, m_flax = flax_step(s_flax, batch, jax.random.PRNGKey(1))
+
+    s_fast = create_train_state(params, tx)
+    fast_step = make_fast_macaron_train_step(m, tx, donate=False)
+    s_fast, m_fast = fast_step(s_fast, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_fast["loss"]), float(m_flax["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_fast.params),
+                    jax.tree_util.tree_leaves(s_flax.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=5e-3)

@@ -214,3 +214,37 @@ def test_l2_bias_bwd_matches_xla_vjp():
         denom = np.linalg.norm(np.asarray(b, np.float32)) + 1e-12
         rel = np.linalg.norm(np.asarray(a - b, np.float32)) / denom
         assert rel < 1e-5, (i, rel)
+
+
+def test_macaron_bwd_matches_xla_vjp():
+    """Native Macaron backward: all 16 cotangents (x, 3x LN scale/bias,
+    biased QKV/out, shared FFN weights/biases, res_scale) vs the
+    XLA-twin vjp."""
+    from odevit_tpu.kernels.macaron import fused_macaron, _xla_macaron
+
+    B, N, D, H, DH = 4, 19, 32, 2, 64
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+
+    def w(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+
+    args = (x, w(D) + 1, w(D), w(D) + 1, w(D), w(D) + 1, w(D),
+            w(D, 3 * D), w(3 * D), w(D, D), w(D),
+            w(D, DH), w(DH), w(DH, D), w(D), jnp.asarray(0.7))
+    probe = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+
+    def loss_native(*a):
+        return jnp.sum(fused_macaron(*a, H, 2.0, 2, N - 3) * probe)
+
+    def loss_twin(*a):
+        return jnp.sum(_xla_macaron(*a, num_heads=H, scaler=2.0,
+                                    n_real=N - 3) * probe)
+
+    gn = jax.grad(loss_native, argnums=tuple(range(16)))(*args)
+    gt = jax.grad(loss_twin, argnums=tuple(range(16)))(*args)
+    for i, (a, b) in enumerate(zip(gn, gt)):
+        denom = np.linalg.norm(np.ravel(np.asarray(b, np.float32))) + 1e-9
+        rel = (np.linalg.norm(np.ravel(np.asarray(a - b, np.float32)))
+               / denom)
+        assert rel < 5e-5, (i, rel)
