@@ -225,8 +225,15 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             pj = p.astype(dtype).astype(f32)
             ids = jax.lax.broadcasted_iota(
                 jnp.int32, (block_b, n_pad, n_pad), 2).astype(f32)
-            clipgrad = ((pj > 1e-12).astype(f32)
-                        * (pj < 1.0).astype(f32))
+            # match the XLA twin's jnp.clip subgradient exactly: 1 strictly
+            # inside (1e-12, 1.0), 0.5 AT either boundary (JAX min/max
+            # tie-splitting — bf16 rows round to exactly 1.0 on peaked
+            # heads, so the boundary case is live), 0 outside
+            lo = ((pj >= 1e-12).astype(f32)
+                  + (pj > 1e-12).astype(f32)) * 0.5
+            hi = ((pj <= 1.0).astype(f32)
+                  + (pj < 1.0).astype(f32)) * 0.5
+            clipgrad = lo * hi
             pbar_jas = gj[:, 4, :][:, :, None] * clipgrad
             cur = pj
             for j in range(kk):

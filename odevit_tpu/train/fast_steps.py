@@ -92,9 +92,13 @@ def _fused_jit_kwargs(model=None):
     n = ((model.img_size // model.patch_size) ** 2 + 1
          + getattr(model, "register_tokens", 0)
          + (1 if model.add_distillation_token else 0))
+    # emit_attn=True: the distill step's attention-map tail budgets its
+    # tiles via bwd_vmem_plan(emit_attn=True); the jit's scoped limit
+    # must derive from the same (maximal) plan inputs or wide-head
+    # configs could pick the 56MB budget tier under a 32MB limit
     return {"compiler_options": bwd_compiler_options(
         n, model.embed_dim, int(model.embed_dim * model.mlp_ratio),
-        model.num_heads)}
+        model.num_heads, emit_attn=True, emit_jas=True)}
 
 
 def _auto_remat(model, batch: int, n: int, remat,
@@ -335,7 +339,7 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
                          use_distillation: bool = True,
                          use_kl_loss: bool = False, supervise: bool = False,
                          use_pallas: bool = True, block_b: int = 16,
-                         rng=None, remat=None):
+                         rng=None, remat=None, sum_loss_scale: float = 1.0):
     """Distillation-student forward through the fused kernel.
 
     The TS hot loop (loss_trainer.py:305-371) at TS-Base shapes: the
@@ -511,8 +515,14 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
                                    lambda_param=lambda_param,
                                    temperature=temperature)
         else:
+            # the L1 loss SUMS over the batch (reference parity); under
+            # the shard_map DP wrapper each shard sees batch/P samples,
+            # so the term is scaled by P to make pmean over shards
+            # reproduce the global-batch sum (all other terms are
+            # per-sample means, where pmean is already exact)
             kl = l1_attention_loss(s_attn, t_attn_last,
-                                   lambda_param=lambda_param)
+                                   lambda_param=lambda_param
+                                   ) * sum_loss_scale
         ok = jnp.isfinite(kl)
         rep = rep + jnp.where(ok, kl, 0.0)
         metrics["kl_loss"] = kl
@@ -534,11 +544,19 @@ def make_fast_distill_train_step(
         use_kl_loss: bool = False, temperature: float = 30.0,
         lr_schedule: Optional[Callable] = None,
         preprocess_fn: Optional[Callable] = None, use_pallas: bool = True,
-        block_b: int = 16, donate: bool = True, remat=None):
+        block_b: int = 16, donate: bool = True, remat=None, mesh=None,
+        data_axis: str = "data"):
     """Fused-kernel drop-in for train.steps.make_distill_train_step (the
     TS-Base hot loop). Teacher forward stays pure flax/XLA (a standard
     ViT-B — already MXU-shaped); the student fwd+bwd runs through the
-    Pallas kernels."""
+    Pallas kernels.
+
+    With ``mesh``, the step runs data-parallel via shard_map over
+    ``data_axis`` (same design as make_fast_free_train_step): teacher +
+    student forward/backward on the local batch shard, grads/metrics
+    pmean'd over ICI, replicated optimizer update. Pallas kernels see
+    local shapes only, so tiles and the scoped-VMEM plan are unchanged.
+    """
 
     has_drop = any(float(d) > 0.0 for d in
                    (student.attn_drop, student.proj_drop,
@@ -546,6 +564,9 @@ def make_fast_distill_train_step(
 
     def step(state, teacher_params, batch, rng, supervise: bool):
         rng = jax.random.fold_in(rng, state.step)
+        if has_drop and mesh is not None:
+            # independent dropout masks per data shard
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         pixels, labels = batch["pixel_values"], batch["labels"]
         if preprocess_fn is not None:
             pixels = preprocess_fn(pixels)
@@ -562,36 +583,67 @@ def make_fast_distill_train_step(
                 use_distillation=use_distillation,
                 use_kl_loss=use_kl_loss, supervise=supervise,
                 use_pallas=use_pallas, block_b=block_b,
-                rng=rng if has_drop else None, remat=remat)
+                rng=rng if has_drop else None, remat=remat,
+                sum_loss_scale=(float(mesh.shape[data_axis])
+                                if mesh is not None else 1.0))
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads, tx)
         metrics = dict(aux["metrics"])
         metrics["acc"] = _accuracy(aux["logits"], batch["labels"])
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            metrics = jax.lax.pmean(metrics, data_axis)
+        new_state = state.apply_gradients(grads, tx)
         metrics["grad_norm"] = optax_global_norm(grads)
-        metrics["nonfinite"] = 1.0 - jnp.isfinite(loss).astype(jnp.float32)
+        metrics["nonfinite"] = 1.0 - jnp.isfinite(
+            metrics["loss"]).astype(jnp.float32)
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
 
-    return jax.jit(step, static_argnames=("supervise",),
-                   donate_argnums=(0,) if donate else (),
-                   **_fused_jit_kwargs(student))
+    if mesh is None:
+        return jax.jit(step, static_argnames=("supervise",),
+                       donate_argnums=(0,) if donate else (),
+                       **_fused_jit_kwargs(student))
+
+    from jax.sharding import PartitionSpec as P
+
+    def make_sharded(sup: bool):
+        def f(state, teacher_params, batch, rng):
+            return step(state, teacher_params, batch, rng, sup)
+        sharded = jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P()),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0,) if donate else (),
+                       **_fused_jit_kwargs(student))
+
+    jits = {True: make_sharded(True), False: make_sharded(False)}
+
+    def dispatch(state, teacher_params, batch, rng, supervise: bool):
+        return jits[bool(supervise)](state, teacher_params, batch, rng)
+
+    return dispatch
 
 
 def make_fast_macaron_train_step(model, tx, *,
                                  lr_schedule: Optional[Callable] = None,
                                  preprocess_fn: Optional[Callable] = None,
                                  use_pallas: bool = True,
-                                 block_b: int = 16, donate: bool = True):
+                                 block_b: int = 16, donate: bool = True,
+                                 mesh=None, data_axis: str = "data"):
     """Fused free-training step for ViTMacaron (CE only — the macaron
     family exposes no attention maps/JaSMin, mirroring the reference):
     forward through fast_forward_macaron (fused Macaron kernel inside
     the solver scan), backward through the native Macaron kernel
     (kernels/macaron.pallas_macaron_bwd). Deterministic — macaron
     configs train without dropout; nonzero drop rates must use the flax
-    step."""
+    step.
+
+    With ``mesh``, runs data-parallel via shard_map over ``data_axis``
+    (local-shard kernels + pmean'd grads/metrics), mirroring
+    make_fast_free_train_step."""
     from odevit_tpu.models.fast_forward import fast_forward_macaron
 
     assert all(float(d) == 0.0 for d in
@@ -611,15 +663,28 @@ def make_fast_macaron_train_step(model, tx, *,
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        acc = _accuracy(logits, batch["labels"])
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            acc = jax.lax.pmean(acc, data_axis)
         new_state = state.apply_gradients(grads, tx)
         metrics = {"loss": loss, "jasmin_loss": jnp.zeros(()),
-                   "acc": _accuracy(logits, batch["labels"]),
-                   "grad_norm": optax_global_norm(grads)}
+                   "acc": acc, "grad_norm": optax_global_norm(grads)}
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else (),
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else (),
+                       **_fused_jit_kwargs(model))
+
+    from jax.sharding import PartitionSpec as P
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else (),
                    **_fused_jit_kwargs(model))
 
 
@@ -638,8 +703,13 @@ def fused_free_qualifies(model, *, use_jasmin: bool = True,
     has_drop = any(float(d) > 0.0 for d in
                    (model.attn_drop, model.proj_drop, model.mlp_drop))
     if getattr(model, "l2_attention", False):
-        # fused L2 is deterministic-only and requires the stats route
-        return not has_drop
+        # fused L2 is deterministic-only and requires the stats route,
+        # which needs n >= jasmin_k + 2 for its k+1 extraction passes
+        # (fast_free_forward asserts this at step-build time otherwise)
+        n = ((model.img_size // model.patch_size) ** 2 + 1
+             + getattr(model, "register_tokens", 0)
+             + (1 if model.add_distillation_token else 0))
+        return not has_drop and n >= max(jasmin_k, 1) + 1
     if has_drop and model.solver not in ("euler", "rk4"):
         return False
     return True
@@ -704,12 +774,11 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
         return jax.jit(step, donate_argnums=(0,) if donate else (),
                        **_fused_jit_kwargs(model))
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(data_axis), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,) if donate else (),
                    **_fused_jit_kwargs(model))

@@ -129,3 +129,83 @@ def test_fused_train_step_dp_matches_single_device():
     rel = np.linalg.norm(f1 - f2) / (np.linalg.norm(f1) + 1e-12)
     assert rel < 1e-4, rel
     assert np.isfinite(float(m2["loss"]))
+
+
+def _params_rel(s1, s2):
+    import jax.flatten_util as fu
+    f1, _ = fu.ravel_pytree(jax.device_get(s1.params))
+    f2, _ = fu.ravel_pytree(jax.device_get(s2.params))
+    return np.linalg.norm(f1 - f2) / (np.linalg.norm(f1) + 1e-12)
+
+
+def test_fused_distill_step_dp_matches_single_device():
+    """The fused distillation step's shard_map DP wrapper (teacher +
+    student + trajectory/attention losses on local shards, pmean'd
+    grads) must reproduce the single-device fused step."""
+    from odevit_tpu.teacher.vit import ViTTeacher
+    from odevit_tpu.train.fast_steps import make_fast_distill_train_step
+    from odevit_tpu.utils.init_utils import init_on_cpu
+
+    rng = np.random.default_rng(3)
+    batch = {"pixel_values": jnp.asarray(
+                 rng.standard_normal((8, 16, 16, 3)), jnp.float32),
+             "labels": jnp.asarray(rng.integers(0, 7, 8))}
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+               mlp_ratio=2.0, num_classes=7, emulate_depth=12.0,
+               time_interval=1.0, num_eval_steps=7, solver="euler",
+               register_tokens=2, remat=False)
+    teacher = ViTTeacher(image_size=16, patch_size=4, hidden_size=32,
+                         num_layers=12, num_heads=2, mlp_dim=64,
+                         num_classes=7)
+    p = m.init(jax.random.PRNGKey(0), batch["pixel_values"])["params"]
+    tp = teacher.init(jax.random.PRNGKey(1),
+                      batch["pixel_values"])["params"]
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(p))
+    kw = dict(lambda_param=0.5, jasmin_k=2, mse_full_path=True,
+              use_distillation=True, donate=False)
+
+    s1, m1 = make_fast_distill_train_step(m, teacher, tx, **kw)(
+        create_train_state(p, tx), tp, batch, jax.random.PRNGKey(2),
+        supervise=True)
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    s2, m2 = make_fast_distill_train_step(m, teacher, tx, mesh=mesh,
+                                          **kw)(
+        create_train_state(jax.device_put(p, replicated(mesh)), tx),
+        jax.device_put(tp, replicated(mesh)),
+        jax.device_put(batch, batch_sharding(mesh)),
+        jax.random.PRNGKey(2), supervise=True)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=2e-5)
+    assert _params_rel(s1, s2) < 1e-4
+
+
+def test_fused_macaron_step_dp_matches_single_device():
+    from odevit_tpu.models.macaron import ViTMacaron
+    from odevit_tpu.train.fast_steps import make_fast_macaron_train_step
+
+    rng = np.random.default_rng(4)
+    batch = {"pixel_values": jnp.asarray(
+                 rng.standard_normal((8, 16, 16, 3)), jnp.float32),
+             "labels": jnp.asarray(rng.integers(0, 7, 8))}
+    m = ViTMacaron(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2.0, num_classes=7, emulate_depth=4,
+                   time_interval=4.0, num_eval_steps=5, solver="rk4",
+                   learn_ivp=True, remat=False)
+    p = m.init(jax.random.PRNGKey(0), batch["pixel_values"])["params"]
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(p))
+
+    s1, m1 = make_fast_macaron_train_step(m, tx, donate=False)(
+        create_train_state(p, tx), batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    s2, m2 = make_fast_macaron_train_step(m, tx, donate=False,
+                                          mesh=mesh)(
+        create_train_state(jax.device_put(p, replicated(mesh)), tx),
+        jax.device_put(batch, batch_sharding(mesh)),
+        jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=2e-5)
+    assert _params_rel(s1, s2) < 1e-4
