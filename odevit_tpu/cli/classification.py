@@ -57,7 +57,11 @@ def main(cfg):
 
     epochs = int(cfg.setup.dict.epochs)
     total = epochs * len(train_loader)
-    sched = cosine_with_warmup(1e-5, int(0.1 * total), total)
+    # additive key: the reference hardcodes 1e-5 (right for fine-tuning a
+    # pretrained backbone); training from random init — the only option
+    # in a zero-egress image — needs a real lr
+    lr = float(cfg.setup.dict.get("lr", 1e-5))
+    sched = cosine_with_warmup(lr, int(0.1 * total), total)
     tx = make_optimizer(sched, weight_decay=1e-4, clip_norm=1.0,
                         trainable_mask=mask)
     state = create_train_state(params, tx)

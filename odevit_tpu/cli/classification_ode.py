@@ -93,15 +93,26 @@ def main(cfg):
                                              make_fast_macaron_train_step)
     use_jasmin = model_type == "vit"
     fused_cfg = cfg.setup.dict.get("fused", "auto")
+    # Pallas custom calls can't be auto-partitioned by GSPMD: fused steps
+    # need a single device or a data-only mesh (shard_map DP wrapper);
+    # any model>1 mesh keeps the flax/GSPMD path even when fused=True
+    mesh_ok, dp_mesh = common.fused_mesh_gate(mesh)
+    if bool(fused_cfg) and fused_cfg != "auto" and not mesh_ok:
+        print("[train] fused=True requested but the mesh has model>1; "
+              "Pallas steps cannot shard over 'model' — keeping the "
+              "flax/GSPMD path")
     if model_type == "macaron":
         det = all(float(d) == 0.0 for d in
                   (model.attn_drop, model.proj_drop, model.mlp_drop))
         fused = (det and jax.default_backend() == "tpu"
-                 if fused_cfg == "auto" else bool(fused_cfg))
+                 if fused_cfg == "auto" else bool(fused_cfg)) and mesh_ok
         if fused:
-            print("[train] fused Pallas macaron training step selected")
+            print("[train] fused Pallas macaron training step selected"
+                  + (f" (DP x{dp_mesh.shape['data']})"
+                     if dp_mesh is not None else ""))
             step_fn = make_fast_macaron_train_step(
-                model, tx, lr_schedule=sched, preprocess_fn=preprocess)
+                model, tx, lr_schedule=sched, preprocess_fn=preprocess,
+                mesh=dp_mesh)
         else:
             step_fn = make_free_train_step(model, tx, jasmin_k=jasmin_k,
                                            use_jasmin=False,
@@ -114,14 +125,11 @@ def main(cfg):
                      and jax.default_backend() == "tpu")
         else:
             fused = bool(fused_cfg)
+        fused = fused and mesh_ok
         if fused:
-            # multi-device: DP via shard_map (kernels on local shards +
-            # pmean over ICI); TP meshes keep the flax/GSPMD path
-            dp_mesh = (mesh if mesh.shape.get("data", 1) > 1
-                       and mesh.shape.get("model", 1) == 1 else None)
             print("[train] fused Pallas training step selected"
-                  + (f" (DP x{mesh.shape['data']})" if dp_mesh is not None
-                     else ""))
+                  + (f" (DP x{dp_mesh.shape['data']})"
+                     if dp_mesh is not None else ""))
             step_fn = make_fast_free_train_step(
                 model, tx, jasmin_k=jasmin_k, lr_schedule=sched,
                 preprocess_fn=preprocess, mesh=dp_mesh)

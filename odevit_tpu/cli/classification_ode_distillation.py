@@ -122,16 +122,25 @@ def main(cfg):
     from odevit_tpu.train.fast_steps import (fused_free_qualifies,
                                              make_fast_distill_train_step)
     fused_cfg = sd.get("fused", "auto")
+    # Pallas steps: single device or data-only mesh (shard_map DP);
+    # model>1 meshes keep the flax/GSPMD path
+    mesh_ok, dp_mesh = common.fused_mesh_gate(mesh)
     fused = (fused_free_qualifies(student)
              and student.solver == "euler"
              and jax.default_backend() == "tpu"
-             if fused_cfg == "auto" else bool(fused_cfg))
+             if fused_cfg == "auto" else bool(fused_cfg)) and mesh_ok
+    if bool(fused_cfg) and fused_cfg != "auto" and not mesh_ok:
+        print("[train] fused=True requested but the mesh has model>1; "
+              "keeping the flax/GSPMD path")
     if fused:
-        print("[train] fused Pallas distillation step selected")
+        print("[train] fused Pallas distillation step selected"
+              + (f" (DP x{dp_mesh.shape['data']})"
+                 if dp_mesh is not None else ""))
 
     def make_step(tx):
         make = (make_fast_distill_train_step if fused
                 else make_distill_train_step)
+        kw = {"mesh": dp_mesh} if fused else {}
         return make(
             student, teacher, tx,
             lambda_param=float(sd.lambda_param),
@@ -140,7 +149,7 @@ def main(cfg):
             use_distillation=bool(sd.get("use_distillation", True)),
             use_kl_loss=bool(sd.get("use_kl_loss", False)),
             temperature=float(sd.get("temperature", 30.0)),
-            lr_schedule=sched, preprocess_fn=preprocess)
+            lr_schedule=sched, preprocess_fn=preprocess, **kw)
 
     step_frozen = make_step(tx_frozen)
     step_open = make_step(tx_open)

@@ -92,17 +92,24 @@ def build_datasets(cfg) -> Tuple[tuple, tuple, int]:
 def build_loaders(cfg, train_data, val_data, sharding=None):
     tr_kw = dict(cfg.data.collator.train)
     va_kw = dict(cfg.data.collator.get("val", ConfigNode(batch_size=256)))
+    # `data.dataset.augment: true` turns on the native batcher's pad-4
+    # random-crop + horizontal-flip augmentation (train split only;
+    # C++/numpy paths are seeded-parity-tested, tests/test_native.py)
+    augment = bool(cfg.data.dataset.get("augment", False))
+    aug_pad = int(cfg.data.dataset.get("augment_pad", 4))
 
-    def mk(data, kw, seed):
+    def mk(data, kw, seed, augment=False):
         images, labels = data
         return ArrayLoader(
             images, labels,
             batch_size=int(kw.get("batch_size", 64)),
             shuffle=bool(kw.get("shuffle", True)),
             drop_last=True,   # static shapes on TPU
-            seed=seed, sharding=sharding)
+            seed=seed, sharding=sharding,
+            augment=augment, augment_pad=aug_pad)
 
-    return mk(train_data, tr_kw, 0), mk(val_data, va_kw, 1)
+    return (mk(train_data, tr_kw, 0, augment=augment),
+            mk(val_data, va_kw, 1))
 
 
 def build_student(cfg_inputs, model_type: str = "vit"):
@@ -116,6 +123,22 @@ def build_student(cfg_inputs, model_type: str = "vit"):
 def setup_mesh_and_sharding():
     mesh = make_mesh(num_data=len(jax.devices()), num_model=1)
     return mesh, batch_sharding(mesh)
+
+
+def fused_mesh_gate(mesh):
+    """(ok, dp_mesh) for the fused Pallas train steps on this mesh.
+
+    Pallas custom calls cannot be auto-partitioned by GSPMD, so the fused
+    steps run either single-device (plain jit) or through their shard_map
+    DP wrappers on a data-only mesh. Any mesh with model>1 must keep the
+    flax/GSPMD path: ok=False. dp_mesh is None on a single device (plain
+    jit), else the mesh to hand the fused step's ``mesh=``."""
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_dev == 1:
+        return True, None
+    if mesh.shape.get("model", 1) == 1:
+        return True, mesh
+    return False, None
 
 
 def replicate(tree, mesh):

@@ -70,13 +70,34 @@ def torch_vit_to_flax(state_dict: Dict[str, Any], num_layers: int = 12,
     return params
 
 
+def load_orbax_teacher_params(checkpoint_dir: str):
+    """Restore ViTTeacher params from a CheckpointManager directory
+    (``<dir>/<name>`` holding ``state`` saved by cli/classification.py —
+    the teacher-training entry's own checkpoint layout)."""
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    state_dir = (checkpoint_dir
+                 if os.path.basename(checkpoint_dir.rstrip("/")) == "state"
+                 else os.path.join(checkpoint_dir, "state"))
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(state_dir))
+    params = restored.get("params", restored)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
 def load_teacher_params(checkpoint_path: str, num_layers: int = 12):
-    """Load teacher params from a torch .pt/.bin checkpoint or an HF
-    save_pretrained directory."""
+    """Load teacher params from a torch .pt/.bin checkpoint, an HF
+    save_pretrained directory, or one of our own CheckpointManager
+    directories (cli/classification.py output)."""
     import os
     import torch
 
     if os.path.isdir(checkpoint_path):
+        if os.path.isdir(os.path.join(checkpoint_path, "state")) or \
+                os.path.basename(checkpoint_path.rstrip("/")) == "state":
+            return load_orbax_teacher_params(checkpoint_path)
         from transformers import ViTForImageClassification
         model = ViTForImageClassification.from_pretrained(checkpoint_path)
         sd = model.state_dict()

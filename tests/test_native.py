@@ -50,3 +50,24 @@ def test_loader_augment_path(dataset):
                          seed=0, augment=True)
     batch = next(iter(loader))
     assert np.asarray(batch["pixel_values"]).shape == (16, 16, 16, 3)
+
+
+def test_augment_wired_through_config():
+    """`data.dataset.augment: true` reaches the train ArrayLoader (and
+    only the train one) via cli.common.build_loaders."""
+    import numpy as np
+    from odevit_tpu.cli.common import build_loaders
+    from odevit_tpu.config.loader import ConfigNode
+
+    cfg = ConfigNode.wrap({
+        "data": {"dataset": {"name": "synthetic", "augment": True,
+                             "augment_pad": 2},
+                 "collator": {"train": {"batch_size": 4},
+                              "val": {"batch_size": 4}}}})
+    imgs = np.zeros((16, 8, 8, 3), np.uint8)
+    labels = np.zeros(16, np.int32)
+    tr, va = build_loaders(cfg, (imgs, labels), (imgs, labels))
+    assert tr.augment is True and tr.augment_pad == 2
+    assert va.augment is False
+    batch = next(iter(tr))
+    assert batch["pixel_values"].shape == (4, 8, 8, 3)

@@ -94,3 +94,35 @@ def test_grafting(tiny_pair):
     # grafted student still runs
     out = student.apply({"params": grafted}, x)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_orbax_teacher_checkpoint_roundtrip(tmp_path):
+    """A teacher trained by cli/classification.py (orbax CheckpointManager
+    layout) must load back through common.load_teacher /
+    load_teacher_params for the distillation entry points."""
+    import jax
+    import jax.numpy as jnp
+    from odevit_tpu.ckpt.checkpoint import CheckpointManager
+    from odevit_tpu.teacher.convert import load_teacher_params
+    from odevit_tpu.teacher.vit import ViTTeacher
+    from odevit_tpu.train.state import (all_trainable, create_train_state,
+                                        make_optimizer)
+
+    teacher = ViTTeacher(image_size=16, patch_size=4, hidden_size=32,
+                         num_layers=2, num_heads=2, mlp_dim=64,
+                         num_classes=5)
+    x = jnp.ones((1, 16, 16, 3))
+    params = teacher.init(jax.random.PRNGKey(0), x)["params"]
+    tx = make_optimizer(1e-4, trainable_mask=all_trainable(params))
+    state = create_train_state(params, tx)
+
+    ckpt = CheckpointManager(str(tmp_path), "teacher_rt", use_async=False)
+    assert ckpt.save(state, metric=0.9)
+    ckpt.wait()
+
+    loaded = load_teacher_params(str(tmp_path / "teacher_rt"))
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
