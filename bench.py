@@ -88,34 +88,90 @@ def main():
         # backward: CE-loss gradients through the fused kernel vjp vs the
         # flax/XLA path, at the training configuration (euler grid)
         from odevit_tpu.train.fast_steps import fast_free_forward
-        m_tr = make_model("rk4", 13)
+        from jax.flatten_util import ravel_pytree
+        from odevit_tpu.train.fast_steps import _fused_jit_kwargs
         labels = jnp.asarray(
             np.random.default_rng(1).integers(0, 100, 256))
 
-        def loss_fused(p):
-            loss, _ = fast_free_forward(m_tr, p, preprocess(small),
-                                        labels, jasmin_k=10)
-            return loss
+        def grad_pair(m_tr, px, p):
+            def loss_fused(q):
+                loss, _ = fast_free_forward(m_tr, q, px, labels,
+                                            jasmin_k=10)
+                return loss
 
-        def loss_flax(p):
-            out = m_tr.apply({"params": p}, preprocess(small), labels,
-                             output_attentions=True, jasmin_k=10)
-            return out["loss"] + out["jasmin_loss"]
+            def loss_flax(q):
+                out = m_tr.apply({"params": q}, px, labels,
+                                 output_attentions=True, jasmin_k=10)
+                return out["loss"] + out["jasmin_loss"]
 
-        from jax.flatten_util import ravel_pytree
-        from odevit_tpu.train.fast_steps import _fused_jit_kwargs
-        g_fused = jax.device_get(
-            jax.jit(jax.grad(loss_fused), **_fused_jit_kwargs())(params))
-        g_flax = jax.device_get(jax.jit(jax.grad(loss_flax))(params))
+            gf = jax.device_get(
+                jax.jit(jax.grad(loss_fused), **_fused_jit_kwargs())(p))
+            gx = jax.device_get(jax.jit(jax.grad(loss_flax))(p))
+            return gf, gx
+
+        g_fused, g_flax = grad_pair(make_model("rk4", 13),
+                                    preprocess(small), params)
         flat_f, _ = ravel_pytree(g_fused)
         flat_x, _ = ravel_pytree(g_flax)
         err_bwd = rel_l2(flat_f, flat_x)
 
+        # per-tensor cotangent breakdown (VERDICT r2 "weak" 1): is the
+        # bf16 discrepancy diffuse accumulation noise, or concentrated
+        # in a single cotangent?
+        from jax.tree_util import tree_flatten_with_path, keystr
+        lf, _t = tree_flatten_with_path(g_fused)
+        lx, _ = tree_flatten_with_path(g_flax)
+        per = sorted(((rel_l2(a, b), keystr(ka))
+                      for (ka, a), (_, b) in zip(lf, lx)
+                      if np.linalg.norm(np.asarray(b, np.float32)) > 1e-6),
+                     reverse=True)
+        worst = {k: round(e, 5) for e, k in per[:5]}
+
+        # f32-mode grad parity: the same comparison with f32 activations
+        # on both paths (the kernels accumulate in f32 regardless) —
+        # separates dtype-policy noise from kernel-math error. Tight gate.
+        def make_model_f32(solver, steps):
+            return ViTODE(img_size=32, patch_size=4, embed_dim=192,
+                          num_heads=3, mlp_ratio=4.0, num_classes=100,
+                          emulate_depth=12.0, time_interval=1.0,
+                          num_eval_steps=steps, solver=solver,
+                          register_tokens=4,
+                          pos_embed_register_tokens=False,
+                          remat=False, dtype=jnp.float32)
+
+        pre32 = make_preprocess(image_size=None, dtype=jnp.float32)
+        gf32, gx32 = grad_pair(make_model_f32("rk4", 13), pre32(small),
+                               params)
+        f32f, _ = ravel_pytree(gf32)
+        f32x, _ = ravel_pytree(gx32)
+        err_bwd_f32 = rel_l2(f32f, f32x)
+
         parity = {"fwd_rel_l2": round(err_fwd, 5),
-                  "bwd_rel_l2": round(err_bwd, 5)}
-        parity_ok = err_fwd < 2e-2 and err_bwd < 3e-2
+                  "bwd_rel_l2": round(err_bwd, 5),
+                  "bwd_rel_l2_f32": round(err_bwd_f32, 6),
+                  "bwd_worst_tensors": worst}
+        parity_ok = (err_fwd < 2e-2 and err_bwd < 3e-2
+                     and err_bwd_f32 < 1e-3)
     except Exception as e:                                # noqa: BLE001
         parity = {"error": str(e)[:200]}
+
+    # --- in-kernel dropout semantics gate (VERDICT r2 item 5) ----------
+    # pltpu-prng mask contract: the backward regenerates the forward's
+    # masks bit-identically at a different batch tile; drop-rate stats in
+    # tolerance; deterministic across calls. The driver-visible on-TPU
+    # counterpart of the three CPU-skipped tests.
+    dropout_parity = {}
+    try:
+        from benchmarks.tpu_dropout_check import run_checks
+        r = run_checks()
+        dropout_parity = {
+            "ok": bool(r.get("ok", False)),
+            **{k: v for k, v in r.items()
+               if k not in ("ok",) and not isinstance(v, (list, dict))}}
+        parity_ok = parity_ok and dropout_parity["ok"]
+    except Exception as e:                                # noqa: BLE001
+        dropout_parity = {"ok": False, "error": str(e)[:200]}
+        parity_ok = False
 
     best = None
     iters = 30
@@ -143,13 +199,20 @@ def main():
 
     # fused TRAINING throughput (full fwd+bwd+AdamW, CE+JaSMin, B=1024)
     # — the round-2 headline axis; details-only so the primary metric
-    # stays comparable across rounds
+    # stays comparable across rounds. train_matrix carries the full
+    # variant ledger (free / drop / L2 / macaron / TS-Base, each with
+    # achieved TFLOP/s + MFU) so every round's record is machine-
+    # comparable (VERDICT r2 item 2).
     train = {}
     try:
-        from benchmarks.train_speed import bench_free
-        r = bench_free(batch=1024, iters=6, fused=True)
-        train = {"train_images_per_sec": r["images_per_sec"],
-                 "train_step_ms": r["step_ms"]}
+        from benchmarks.train_speed import variant_matrix
+        matrix = variant_matrix(budget_s=900.0)
+        free = matrix.get("free_b1024", {})
+        train = {"train_images_per_sec": free.get("images_per_sec"),
+                 "train_step_ms": free.get("step_ms"),
+                 "train_tflops_per_sec": free.get("tflops_per_sec"),
+                 "train_mfu": free.get("mfu"),
+                 "train_matrix": matrix}
     except Exception as e:                                # noqa: BLE001
         train = {"train_error": str(e)[:160]}
 
@@ -163,6 +226,7 @@ def main():
         "parity_ok": parity_ok,
         "details": {
             "parity": parity,
+            "dropout_parity": dropout_parity,
             "batch": batch,
             "path": path,
             "per_rk_step_latency_ms": round(per_step_ms, 4),

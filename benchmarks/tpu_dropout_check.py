@@ -66,7 +66,10 @@ def xla_twin_with_masks(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     return (mlp_o + attn_o) * scaler, p
 
 
-def main():
+def run_checks():
+    """Run all on-chip dropout-semantics checks; returns the results dict
+    (asserts on any violation). Called by bench.py's parity gate so the
+    pltpu-prng mask contract is driver-visible every round."""
     from odevit_tpu.kernels.vector_field import (
         _pallas_forward, fused_vf_attn_dropout, TOKEN_PAD)
 
@@ -178,7 +181,11 @@ def main():
     results["deterministic"] = True
 
     results["ok"] = True
-    print(json.dumps(results))
+    return results
+
+
+def main():
+    print(json.dumps(run_checks()))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,13 @@ import time
 import numpy as np
 
 
+def _mfu_fields(flops_per_step: float, best_seconds: float) -> dict:
+    """Achieved TFLOP/s and %-of-peak for a measured step (VERDICT r2:
+    the record must reveal how much of the chip the hot loop uses)."""
+    from odevit_tpu.analysis.flops import mfu
+    return mfu(flops_per_step, best_seconds)
+
+
 def bench_free(batch=256, jasmin=True, iters=10, fused=False,
                remat=True, drop=0.0):
     import jax
@@ -74,10 +81,12 @@ def bench_free(batch=256, jasmin=True, iters=10, fused=False,
         state, mm = step(state, data, jax.random.PRNGKey(1))
         jax.block_until_ready(mm["loss"])
         best = min(best, time.perf_counter() - t0)
+    from odevit_tpu.analysis.flops import train_step_flops
     return {"mode": "free_train", "batch": batch, "jasmin": jasmin,
             "fused": fused, "remat": remat, "drop": drop,
             "step_ms": round(best * 1e3, 1),
-            "images_per_sec": round(batch / best, 1), "nfe": 48}
+            "images_per_sec": round(batch / best, 1), "nfe": 48,
+            **_mfu_fields(train_step_flops(m, batch), best)}
 
 
 def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True):
@@ -128,11 +137,143 @@ def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True):
         state, mm = step(state, tp, data, jax.random.PRNGKey(2), True)
         jax.block_until_ready(mm["loss"])
         best = min(best, time.perf_counter() - t0)
+    from odevit_tpu.analysis.flops import distill_step_flops
     return {"mode": "distill_train", "batch": batch, "fused": fused,
             "drop": drop, "remat": remat,
             "step_ms": round(best * 1e3, 1),
             "images_per_sec": round(batch / best, 1),
-            "loss": float(mm["loss"])}
+            "loss": float(mm["loss"]),
+            **_mfu_fields(distill_step_flops(student, teacher, batch),
+                          best)}
+
+
+def bench_l2(batch=1024, iters=6, fused=True, remat=True):
+    """L2-attention free-training step (the Lipschitz-controlled variant,
+    reference ode_transformer_gpt.py:12-63), CIFAR shapes."""
+    import jax
+    import jax.numpy as jnp
+    from odevit_tpu.models.vit_ode import ViTODE
+    from odevit_tpu.utils.init_utils import init_on_cpu
+    from odevit_tpu.data.pipeline import make_preprocess
+    from odevit_tpu.train.state import (all_trainable, create_train_state,
+                                        make_optimizer)
+    from odevit_tpu.train.fast_steps import make_fast_free_train_step
+    from odevit_tpu.train.steps import make_free_train_step
+
+    rng = np.random.default_rng(0)
+    data = {"pixel_values": jax.device_put(rng.integers(
+                0, 256, (batch, 32, 32, 3), dtype=np.uint8)),
+            "labels": jax.device_put(rng.integers(0, 100, batch)
+                                     .astype(np.int32))}
+    pre = make_preprocess(None, dtype=jnp.bfloat16)
+    m = ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
+               mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
+               time_interval=1.0, num_eval_steps=13, solver="rk4",
+               register_tokens=4, pos_embed_register_tokens=False,
+               remat=remat, dtype=jnp.bfloat16, l2_attention=True)
+    p = init_on_cpu(m, jax.random.PRNGKey(0),
+                    pre(data["pixel_values"][:2]))["params"]
+    tx = make_optimizer(1e-4, trainable_mask=all_trainable(p))
+    state = create_train_state(p, tx)
+    if fused:
+        step = make_fast_free_train_step(m, tx, jasmin_k=10,
+                                         preprocess_fn=pre, donate=False,
+                                         remat=None if remat else False)
+    else:
+        step = make_free_train_step(m, tx, use_jasmin=True, jasmin_k=10,
+                                    preprocess_fn=pre, donate=False)
+    state, mm = step(state, data, jax.random.PRNGKey(1))
+    jax.block_until_ready(mm["loss"])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, mm = step(state, data, jax.random.PRNGKey(1))
+        jax.block_until_ready(mm["loss"])
+        best = min(best, time.perf_counter() - t0)
+    from odevit_tpu.analysis.flops import train_step_flops
+    return {"mode": "l2_train", "batch": batch, "fused": fused,
+            "step_ms": round(best * 1e3, 1),
+            "images_per_sec": round(batch / best, 1), "nfe": 48,
+            **_mfu_fields(train_step_flops(m, batch), best)}
+
+
+def bench_macaron(batch=1024, iters=6, fused=True):
+    """ViTMacaron free-training step (CE only), CIFAR rk4x13 shapes."""
+    import jax
+    import jax.numpy as jnp
+    from odevit_tpu.models.macaron import ViTMacaron
+    from odevit_tpu.utils.init_utils import init_on_cpu
+    from odevit_tpu.data.pipeline import make_preprocess
+    from odevit_tpu.train.state import (all_trainable, create_train_state,
+                                        make_optimizer)
+    from odevit_tpu.train.fast_steps import make_fast_macaron_train_step
+    from odevit_tpu.train.steps import make_free_train_step
+
+    rng = np.random.default_rng(0)
+    data = {"pixel_values": jax.device_put(rng.integers(
+                0, 256, (batch, 32, 32, 3), dtype=np.uint8)),
+            "labels": jax.device_put(rng.integers(0, 100, batch)
+                                     .astype(np.int32))}
+    pre = make_preprocess(None, dtype=jnp.bfloat16)
+    m = ViTMacaron(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
+                   mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
+                   time_interval=12.0, num_eval_steps=13, solver="rk4",
+                   remat=False, dtype=jnp.bfloat16)
+    p = init_on_cpu(m, jax.random.PRNGKey(0),
+                    pre(data["pixel_values"][:2]))["params"]
+    tx = make_optimizer(1e-4, trainable_mask=all_trainable(p))
+    state = create_train_state(p, tx)
+    if fused:
+        step = make_fast_macaron_train_step(m, tx, preprocess_fn=pre,
+                                            donate=False)
+    else:
+        step = make_free_train_step(m, tx, use_jasmin=False,
+                                    preprocess_fn=pre, donate=False)
+    state, mm = step(state, data, jax.random.PRNGKey(1))
+    jax.block_until_ready(mm["loss"])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, mm = step(state, data, jax.random.PRNGKey(1))
+        jax.block_until_ready(mm["loss"])
+        best = min(best, time.perf_counter() - t0)
+    from odevit_tpu.analysis.flops import train_step_flops
+    return {"mode": "macaron_train", "batch": batch, "fused": fused,
+            "step_ms": round(best * 1e3, 1),
+            "images_per_sec": round(batch / best, 1), "nfe": 48,
+            **_mfu_fields(train_step_flops(m, batch, kind="macaron"),
+                          best)}
+
+
+def variant_matrix(budget_s: float = 1500.0) -> dict:
+    """The driver-visible training variant matrix (VERDICT r2 item 2):
+    every fused training family + the TS-Base flax baseline, each with
+    achieved TFLOP/s and MFU. Entries degrade to an error/skip record
+    rather than failing the bench."""
+    specs = [
+        ("free_b1024", lambda: bench_free(batch=1024, iters=6, fused=True)),
+        ("drop03_b1024", lambda: bench_free(batch=1024, iters=6,
+                                            fused=True, drop=0.3)),
+        ("l2_b1024", lambda: bench_l2(batch=1024, iters=6)),
+        ("macaron_b1024", lambda: bench_macaron(batch=1024, iters=6)),
+        ("tsbase_b64", lambda: bench_distill(batch=64, iters=5)),
+        ("tsbase_b128", lambda: bench_distill(batch=128, iters=5)),
+        ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
+                                                  fused=False)),
+    ]
+    out = {}
+    t0 = time.time()
+    keep = ("images_per_sec", "step_ms", "tflops_per_sec", "mfu")
+    for name, fn in specs:
+        if time.time() - t0 > budget_s:
+            out[name] = {"skipped": "bench time budget"}
+            continue
+        try:
+            r = fn()
+            out[name] = {k: r[k] for k in keep if k in r}
+        except Exception as e:                             # noqa: BLE001
+            out[name] = {"error": str(e)[:160]}
+    return out
 
 
 if __name__ == "__main__":
@@ -147,11 +288,28 @@ if __name__ == "__main__":
     ap.add_argument("--drop", type=float, default=0.0)
     ap.add_argument("--distill", action="store_true",
                     help="TS-Base distillation step instead of free")
+    ap.add_argument("--l2", action="store_true")
+    ap.add_argument("--macaron", action="store_true")
+    ap.add_argument("--matrix", action="store_true",
+                    help="full train variant matrix (the BENCH record)")
     a = ap.parse_args()
+    if a.matrix:
+        print(json.dumps(variant_matrix(), indent=1))
+        sys.exit(0)
+    if a.l2:
+        print(json.dumps(bench_l2(batch=a.batch, iters=a.iters,
+                                  fused=not a.compare or a.fused,
+                                  remat=not a.no_remat)))
+        sys.exit(0)
+    if a.macaron:
+        print(json.dumps(bench_macaron(batch=a.batch, iters=a.iters,
+                                       fused=not a.compare or a.fused)))
+        sys.exit(0)
     if a.distill:
         print(json.dumps(bench_distill(
-            batch=min(a.batch, 64), iters=a.iters, fused=a.fused or True,
-            drop=a.drop, remat=not a.no_remat)))
+            batch=a.batch if a.batch != 256 else 64, iters=a.iters,
+            fused=a.fused or not a.compare, drop=a.drop,
+            remat=not a.no_remat)))
         sys.exit(0)
     if a.compare:
         for fused in (False, True):

@@ -161,8 +161,8 @@ def attention_video(attn_trajectory, out_path: str, *, image=None,
 
 def _render_heat_frame(heat, image, alpha):
     plt = _plt()
-    import matplotlib.cm as cm
-    rgba = cm.get_cmap("inferno")(heat)[..., :3]
+    import matplotlib
+    rgba = matplotlib.colormaps["inferno"](heat)[..., :3]
     if image is not None:
         img = np.asarray(image, np.float32)
         if img.max() > 1:

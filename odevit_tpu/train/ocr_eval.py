@@ -13,8 +13,10 @@ adaptations, documented where they diverge:
   metrics instead of the reference's ``(model, loss)`` tuple.
 * The reference evaluates only ``log_every`` batches per call (the
   ``break`` at test.py:231/291) and divides sums by ``log_every``
-  regardless of how many batches actually ran; both quirks are
-  reproduced, with a guard when the loader is shorter.
+  regardless of how many batches actually ran; the slice quirk is
+  reproduced, but the denominator is deliberately fixed to the number
+  of batches that ran when the loader is shorter than ``log_every``
+  (the reference would silently deflate every metric there).
 * ``greedy_generate`` provides a compiler-friendly ``lax.scan`` greedy
   decoder as the stand-in for the reference's HF ``model.generate``.
 """
