@@ -149,13 +149,16 @@ def attention_video(attn_trajectory, out_path: str, *, image=None,
     for e in range(heats.shape[0]):
         heat = heats[e] / (heats[e].max() + 1e-12)
         frames.append(_render_heat_frame(heat, image, overlay_alpha))
+    # pillow (gif) wants per-frame duration in ms; ffmpeg (mp4) wants fps
+    if out_path.endswith(".gif"):
+        imageio.mimsave(out_path, frames, duration=1000.0 / fps)
+        return out_path
     try:
         imageio.mimsave(out_path, frames, fps=fps)
         return out_path
     except Exception:
         alt = out_path.rsplit(".", 1)[0] + ".gif"
-        imageio.mimsave(alt, frames, format="gif",
-                        duration=1.0 / fps)
+        imageio.mimsave(alt, frames, duration=1000.0 / fps)
         return alt
 
 
