@@ -201,14 +201,17 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                l2_attention: bool = False, has_bias: bool = False,
                attn_drop: float = 0.0, proj_drop: float = 0.0,
                mlp_drop: float = 0.0, has_seed: bool = False,
-               emit_masks: bool = False, jas_kk: int = 0):
-    # ref order: [seed (if has_seed)], [qkvb, outb (if has_bias)] (inputs),
+               emit_masks: bool = False, jas_kk: int = 0,
+               has_base: bool = False):
+    # ref order: [seed (if has_seed)], [qkvb, outb (if has_bias)],
+    #            [base (if has_base)] (inputs),
     #            dx_ref, [attn_ref (if emit_attn)], [jas_ref (if jas_k)],
     #            [mask refs (if emit_masks)] (outputs), ctx_scratch
     refs = list(refs)
     seed_ref = refs.pop(0) if has_seed else None
     qkv_bias = refs.pop(0)[0] if has_bias else None
     out_bias = refs.pop(0)[0] if has_bias else None
+    base_ref = refs.pop(0) if has_base else None
     dx_ref = refs.pop(0)
     attn_ref = refs.pop(0) if emit_attn else None
     jas_ref = refs.pop(0) if jas_kk else None
@@ -341,7 +344,12 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         if emit_masks:
             mao_ref[:] = mask_ao
     dx = (mlp_o + attn_o) * scaler
-    if euler_dt:
+    if has_base:
+        # fused stage advance (rk4 3/8 route): emit base + c*dt*f(y)
+        # where base is a linear combination of earlier stage states
+        # computed in XLA — the k_i stage slopes never hit HBM
+        dx = base_ref[:].astype(jnp.float32) + euler_dt * dx
+    elif euler_dt:
         # fused Euler step: emit y + dt*f(y) directly — saves one
         # state-sized elementwise pass (and its HBM round trip) per step
         dx = xf + euler_dt * dx
@@ -355,13 +363,16 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                     emit_attn: bool = False, l2_attention: bool = False,
                     seed=None, attn_drop: float = 0.0,
                     proj_drop: float = 0.0, mlp_drop: float = 0.0,
-                    emit_masks: bool = False, jas_kk: int = 0):
+                    emit_masks: bool = False, jas_kk: int = 0,
+                    base=None):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        if base is not None:
+            base = jnp.pad(base, ((0, 0), (0, n_pad - n), (0, 0)))
     x2d = x.reshape(b * n_pad, d)
     # weights enter the kernel in the compute dtype (halves weight VMEM
     # at bf16; the f32 originals remain the custom-vjp residuals)
@@ -386,7 +397,7 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                                proj_drop=proj_drop if has_seed else 0.0,
                                mlp_drop=mlp_drop if has_seed else 0.0,
                                has_seed=has_seed, emit_masks=emit_masks,
-                               jas_kk=jas_kk)
+                               jas_kk=jas_kk, has_base=base is not None)
     mat = lambda i: (0, 0)
 
     out_specs = [pl.BlockSpec((rows, d), lambda i: (i, 0),
@@ -445,6 +456,10 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                      pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)]
         operands += [qkv_bias[None].astype(jnp.float32),
                      out_bias[None].astype(jnp.float32)]
+    if base is not None:
+        in_specs.append(pl.BlockSpec((rows, d), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(base.reshape(b * n_pad, d).astype(x.dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -626,6 +641,54 @@ def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
         vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
         num_heads=num_heads, scaler=scaler, block_b=bb,
         n_real=n_real, euler_dt=dt)
+
+
+def fused_rk4_step_from_params(y, vf_params, *, num_heads: int,
+                               scaler: float, dt: float,
+                               block_b: int = 16, n_real: int = 0):
+    """One Kutta-3/8 rk4 step with every stage advance fused into the
+    kernel — the k_i stage slopes never materialize in HBM.
+
+    Rewrites torchdiffeq's "rk4" (core/integrators.make_step) so each
+    vector-field call emits ``base + c*dt*f(y_i)`` directly, where the
+    bases are stage-state combinations (exact in f32):
+
+        y2     = y + dt/3 * k1
+        y3     = (2y - y2)                       + dt   * k2
+        y4     = (2y2 - y3)                      + dt   * k3
+        y_next = (-y/8 + 3/4*y3 + 3/8*y4)        + dt/8 * k4
+
+    Inference-only, like the fused Euler step (training keeps discrete
+    stages so the native backward kernels see plain f evaluations).
+    """
+    bb = auto_block_b(y.shape[0], y.shape[1], y.shape[2],
+                      vf_params["mlp"]["fc1_kernel"].shape[-1],
+                      num_heads, requested=block_b)
+
+    def stage(y_i, base, c):
+        return _pallas_forward(
+            y_i, vf_params["norm_attn"]["scale"],
+            vf_params["norm_attn"]["bias"],
+            vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
+            vf_params["attn"]["qkv_kernel"],
+            vf_params["attn"]["out_kernel"],
+            vf_params["mlp"]["fc1_kernel"], vf_params["mlp"]["fc2_kernel"],
+            num_heads=num_heads, scaler=scaler, block_b=bb,
+            n_real=n_real, euler_dt=c, base=base)
+
+    f32 = jnp.float32
+    dtype = y.dtype
+
+    def comb(*terms):
+        # base combinations accumulate in f32 (bf16 states would leak
+        # rounding into the reconstructed dt*k_i terms)
+        acc = sum(w * t.astype(f32) for w, t in terms)
+        return acc.astype(dtype)
+
+    y2 = stage(y, None, dt / 3.0)                      # euler-mode stage
+    y3 = stage(y2, comb((2.0, y), (-1.0, y2)), dt)
+    y4 = stage(y3, comb((2.0, y2), (-1.0, y3)), dt)
+    return stage(y4, comb((-0.125, y), (0.75, y3), (0.375, y4)), dt / 8.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))

@@ -25,6 +25,7 @@ from odevit_tpu.core.adaptive import odeint_dopri5
 from odevit_tpu.core.integrators import odeint
 from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
                                              fused_euler_step_from_params,
+                                             fused_rk4_step_from_params,
                                              fused_vf_from_params,
                                              fused_vf_l2_from_params)
 from odevit_tpu.models.vector_field import drift_scaler
@@ -100,6 +101,18 @@ def fast_forward(model, params, images, *, block_b: int = 16,
 
         def step(y, _):
             return fused_euler_step_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                dt=dt, block_b=block_b, n_real=n), None
+
+        y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
+    elif (model.solver == "rk4" and use_pallas and uniform
+          and not model.l2_attention):
+        # fused rk4 (Kutta 3/8): every stage advance happens inside the
+        # kernel; the k_i slopes never round-trip HBM
+        dt = float(ts[1] - ts[0])
+
+        def step(y, _):
+            return fused_rk4_step_from_params(
                 y, params["vf"], num_heads=model.num_heads, scaler=scaler,
                 dt=dt, block_b=block_b, n_real=n), None
 
