@@ -643,6 +643,112 @@ def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
         n_real=n_real, euler_dt=dt)
 
 
+def _vf_euler_chain_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref,
+                           cnm_b_ref, wqkv_ref, wout_ref, w1_ref, w2_ref,
+                           y_ref, ctx_scratch, *, num_heads: int,
+                           scaler: float, n_real: int, block_b: int,
+                           dt: float, chain: int):
+    """``chain`` fused Euler steps in ONE kernel launch: the state makes
+    a single HBM round trip per ``chain`` evaluations (the field is
+    autonomous, so the weights in VMEM serve every chained step).
+    Deterministic softmax serving path only — no dropout/maps/JaSMin."""
+    rows, d = x_ref.shape
+    n_pad = rows // block_b
+    hd = d // num_heads
+    qk_scale = hd ** -0.5
+    dtype = x_ref.dtype
+    key_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+                < n_real).astype(jnp.float32)[None]
+    bdims = (((2,), (2,)), ((0,), (0,)))
+    pdims = (((2,), (1,)), ((0,), (0,)))
+
+    xf = x_ref[:].astype(jnp.float32)
+    for _ in range(chain):
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        cent = (xf - mean) * (d / (d - 1.0))
+        cn_a = (cent * cna_s_ref[0] + cna_b_ref[0]).astype(dtype)
+        cn_m = (cent * cnm_s_ref[0] + cnm_b_ref[0]).astype(dtype)
+
+        h = jnp.dot(cn_m, w1_ref[:], preferred_element_type=jnp.float32)
+        h = _gelu(h).astype(dtype)
+        mlp_o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+
+        qkv32 = jnp.dot(cn_a, wqkv_ref[:],
+                        preferred_element_type=jnp.float32)
+        qkv = qkv32.astype(dtype).reshape(block_b, n_pad, 3 * d)
+        for hh in range(num_heads):
+            q32 = qkv[:, :, hh * hd:(hh + 1) * hd].astype(jnp.float32)
+            k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(
+                jnp.float32)
+            v = qkv[:, :, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
+            q = q32 * qk_scale
+            s = jax.lax.dot_general(q, k, bdims,
+                                    preferred_element_type=jnp.float32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s) * key_mask
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            ctx_h = jax.lax.dot_general(p, v, pdims,
+                                        preferred_element_type=jnp.float32)
+            ctx_scratch[:, :, hh * hd:(hh + 1) * hd] = ctx_h.astype(dtype)
+
+        attn_o = jnp.dot(ctx_scratch[:].reshape(block_b * n_pad, d),
+                         wout_ref[:], preferred_element_type=jnp.float32)
+        # round to the state dtype between steps so the chained kernel is
+        # step-for-step identical to the scan of single fused-Euler steps
+        xf = (xf + dt * ((mlp_o + attn_o) * scaler)).astype(
+            dtype).astype(jnp.float32)
+    y_ref[:] = xf.astype(dtype)
+
+
+def fused_euler_chain_from_params(y, vf_params, *, num_heads: int,
+                                  scaler: float, dt: float, chain: int,
+                                  block_b: int = 16, n_real: int = 0):
+    """``chain`` Euler steps per kernel launch (serving fast path)."""
+    b, n, d = y.shape
+    dh = vf_params["mlp"]["fc1_kernel"].shape[-1]
+    n_real = n_real or n
+    n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    if n_pad != n:
+        y = jnp.pad(y, ((0, 0), (0, n_pad - n), (0, 0)))
+    bb = auto_block_b(b, n, d, dh, num_heads, requested=block_b)
+    rows = bb * n_pad
+    mat = lambda i: (0, 0)
+    wqkv, wout, w1, w2 = (
+        vf_params["attn"]["qkv_kernel"].astype(y.dtype),
+        vf_params["attn"]["out_kernel"].astype(y.dtype),
+        vf_params["mlp"]["fc1_kernel"].astype(y.dtype),
+        vf_params["mlp"]["fc2_kernel"].astype(y.dtype))
+    out = pl.pallas_call(
+        functools.partial(_vf_euler_chain_kernel, num_heads=num_heads,
+                          scaler=scaler, n_real=n_real, block_b=bb,
+                          dt=dt, chain=chain),
+        grid=(b // bb,),
+        interpret=_interpret_default(),
+        in_specs=[
+            pl.BlockSpec((rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n_pad, d), y.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, n_pad, d), y.dtype)],
+    )(y.reshape(b * n_pad, d),
+      vf_params["norm_attn"]["scale"][None],
+      vf_params["norm_attn"]["bias"][None],
+      vf_params["norm_mlp"]["scale"][None],
+      vf_params["norm_mlp"]["bias"][None],
+      wqkv, wout, w1, w2)
+    return out.reshape(b, n_pad, d)[:, :n, :]
+
+
 def fused_rk4_step_from_params(y, vf_params, *, num_heads: int,
                                scaler: float, dt: float,
                                block_b: int = 16, n_real: int = 0):

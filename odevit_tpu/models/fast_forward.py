@@ -24,6 +24,7 @@ import jax
 from odevit_tpu.core.adaptive import odeint_dopri5
 from odevit_tpu.core.integrators import odeint
 from odevit_tpu.kernels.vector_field import (TOKEN_PAD,
+                                             fused_euler_chain_from_params,
                                              fused_euler_step_from_params,
                                              fused_rk4_step_from_params,
                                              fused_vf_from_params,
@@ -96,15 +97,30 @@ def fast_forward(model, params, images, *, block_b: int = 16,
         y_final = states[-1]
     elif (model.solver == "euler" and use_pallas and uniform
           and not model.l2_attention):
-        # fused Euler: the y + dt*f(y) update happens inside the kernel
+        # fused Euler: the y + dt*f(y) update happens inside the kernel.
+        # When the step count divides evenly, CHAIN several steps per
+        # kernel launch — the autonomous field's weights already sit in
+        # VMEM, so the state's HBM round trip amortizes over the chain.
         dt = float(ts[1] - ts[0])
+        n_steps = len(ts) - 1
+        chain = next((c for c in (8, 6, 4, 3, 2) if n_steps % c == 0), 1)
 
-        def step(y, _):
-            return fused_euler_step_from_params(
-                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-                dt=dt, block_b=block_b, n_real=n), None
+        if chain > 1:
+            def step(y, _):
+                return fused_euler_chain_from_params(
+                    y, params["vf"], num_heads=model.num_heads,
+                    scaler=scaler, dt=dt, chain=chain, block_b=block_b,
+                    n_real=n), None
 
-        y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
+            y_final, _ = jax.lax.scan(step, tokens, None,
+                                      length=n_steps // chain)
+        else:
+            def step(y, _):
+                return fused_euler_step_from_params(
+                    y, params["vf"], num_heads=model.num_heads,
+                    scaler=scaler, dt=dt, block_b=block_b, n_real=n), None
+
+            y_final, _ = jax.lax.scan(step, tokens, None, length=n_steps)
     elif (model.solver == "rk4" and use_pallas and uniform
           and not model.l2_attention):
         # fused rk4 (Kutta 3/8): every stage advance happens inside the
