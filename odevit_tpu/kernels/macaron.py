@@ -45,9 +45,13 @@ LN_EPS = 1e-6           # flax nn.LayerNorm default
 def _macaron_kernel(x_ref, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
                     wqkv_ref, qkvb_ref, wout_ref, outb_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref, rs_ref,
-                    dx_ref, ctx_scratch, *,
-                    num_heads: int, scaler: float, n_real: int,
-                    block_b: int):
+                    *refs, num_heads: int, scaler: float, n_real: int,
+                    block_b: int, euler_dt: float = 0.0,
+                    has_base: bool = False):
+    # ref order: [base (if has_base)] (input), dx_ref (output), ctx_scratch
+    refs = list(refs)
+    base_ref = refs.pop(0) if has_base else None
+    dx_ref, ctx_scratch = refs
     rows, d = x_ref.shape
     n_pad = rows // block_b
     hd = d // num_heads
@@ -94,7 +98,15 @@ def _macaron_kernel(x_ref, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
                       preferred_element_type=f32) + outb_ref[0])
     x2 = x1 + rs * attn_o
     x3 = x2 + 0.5 * rs * ffn(ln(x2, ln3s, ln3b))
-    dx_ref[:] = (x3 * scaler).astype(dx_ref.dtype)
+    dx = x3 * scaler
+    if has_base:
+        # fused stage advance (rk4 3/8 route): emit base + c*dt*f(y),
+        # base = XLA-combined earlier stage states — k_i never hit HBM
+        dx = base_ref[:].astype(f32) + euler_dt * dx
+    elif euler_dt:
+        # fused Euler step: emit y + dt*f(y) directly
+        dx = xf + euler_dt * dx
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _xla_macaron(x, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b, wqkv, qkvb,
@@ -143,7 +155,8 @@ def _xla_macaron(x, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b, wqkv, qkvb,
     return (x3 * scaler).astype(dtype)
 
 
-def _pallas_macaron(x, *tensors, num_heads, scaler, block_b, n_real):
+def _pallas_macaron(x, *tensors, num_heads, scaler, block_b, n_real,
+                    euler_dt: float = 0.0, base=None):
     b, n, d = x.shape
     (ln1s, ln1b, ln2s, ln2b, ln3s, ln3b, wqkv, qkvb, wout, outb,
      w1, b1, w2, b2, rs) = tensors
@@ -152,42 +165,52 @@ def _pallas_macaron(x, *tensors, num_heads, scaler, block_b, n_real):
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        if base is not None:
+            base = jnp.pad(base, ((0, 0), (0, n_pad - n), (0, 0)))
     x2d = x.reshape(b * n_pad, d)
     wqkv, wout, w1, w2 = (w.astype(x.dtype) for w in (wqkv, wout, w1, w2))
 
     rows = block_b * n_pad
     mat = lambda i: (0, 0)
     vec = lambda w: pl.BlockSpec((1, w), mat, memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((rows, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_macaron_kernel, num_heads=num_heads,
                                scaler=scaler, n_real=n_real,
-                               block_b=block_b)
+                               block_b=block_b, euler_dt=euler_dt,
+                               has_base=base is not None)
+    in_specs = [
+        rowspec,
+        vec(d), vec(d), vec(d), vec(d), vec(d), vec(d),
+        pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+        vec(3 * d),
+        pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+        vec(d),
+        pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
+        vec(dh),
+        pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
+        vec(d),
+        pl.BlockSpec((1, 1), mat, memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d, ln1s[None], ln1b[None], ln2s[None], ln2b[None],
+                ln3s[None], ln3b[None], wqkv,
+                qkvb[None].astype(jnp.float32), wout,
+                outb[None].astype(jnp.float32), w1,
+                b1[None].astype(jnp.float32), w2,
+                b2[None].astype(jnp.float32),
+                rs.reshape(1, 1).astype(jnp.float32)]
+    if base is not None:
+        in_specs.append(rowspec)
+        operands.append(base.reshape(b * n_pad, d).astype(x.dtype))
     out = pl.pallas_call(
         kernel,
         grid=(b // block_b,),
         interpret=_interpret_default(),
-        in_specs=[
-            pl.BlockSpec((rows, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            vec(d), vec(d), vec(d), vec(d), vec(d), vec(d),
-            pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
-            vec(3 * d),
-            pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
-            vec(d),
-            pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
-            vec(dh),
-            pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
-            vec(d),
-            pl.BlockSpec((1, 1), mat, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=rowspec,
         out_shape=jax.ShapeDtypeStruct((b * n_pad, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_b, n_pad, d), x.dtype)],
-    )(x2d, ln1s[None], ln1b[None], ln2s[None], ln2b[None], ln3s[None],
-      ln3b[None], wqkv, qkvb[None].astype(jnp.float32), wout,
-      outb[None].astype(jnp.float32), w1, b1[None].astype(jnp.float32),
-      w2, b2[None].astype(jnp.float32),
-      rs.reshape(1, 1).astype(jnp.float32))
+    )(*operands)
     out = out.reshape(b, n_pad, d)
     return out[:, :n, :] if n_pad != n else out
 
@@ -535,3 +558,70 @@ def fused_macaron_from_params(x, vf_params, *, num_heads: int,
                              n_real)
     return _xla_macaron(x, *tensors, num_heads=num_heads, scaler=scaler,
                         n_real=n_real)
+
+
+def _macaron_tensors(vf_params):
+    a = vf_params["attn"]
+    f = vf_params["ffn"]
+    return (
+        vf_params["norm1"]["scale"], vf_params["norm1"]["bias"],
+        vf_params["norm2"]["scale"], vf_params["norm2"]["bias"],
+        vf_params["norm3"]["scale"], vf_params["norm3"]["bias"],
+        a["qkv_kernel"], a["qkv_bias"], a["out_kernel"], a["out_bias"],
+        f["fc1"]["kernel"], f["fc1"]["bias"],
+        f["fc2"]["kernel"], f["fc2"]["bias"],
+        vf_params["res_scale"])
+
+
+def _macaron_block_b(b, requested):
+    bb = max(requested, 1)
+    while b % bb:
+        bb //= 2
+    return max(bb, 1)
+
+
+def fused_macaron_euler_step_from_params(y, vf_params, *, num_heads: int,
+                                         scaler: float, dt: float,
+                                         block_b: int = 16,
+                                         n_real: int = 0):
+    """One fused Euler step, y + dt*f(y) emitted by the kernel.
+    Inference-only (serving path; training integrates plain f evals)."""
+    return _pallas_macaron(
+        y, *_macaron_tensors(vf_params), num_heads=num_heads,
+        scaler=scaler, block_b=_macaron_block_b(y.shape[0], block_b),
+        n_real=n_real, euler_dt=dt)
+
+
+def fused_macaron_rk4_step_from_params(y, vf_params, *, num_heads: int,
+                                       scaler: float, dt: float,
+                                       block_b: int = 16, n_real: int = 0):
+    """One Kutta-3/8 rk4 step with fused stage advances — the k_i stage
+    slopes never materialize in HBM (same rewrite as
+    kernels/vector_field.fused_rk4_step_from_params):
+
+        y2     = y + dt/3 * k1
+        y3     = (2y - y2)                + dt   * k2
+        y4     = (2y2 - y3)               + dt   * k3
+        y_next = (-y/8 + 3/4*y3 + 3/8*y4) + dt/8 * k4
+
+    Inference-only, like the fused Euler step."""
+    tensors = _macaron_tensors(vf_params)
+    bb = _macaron_block_b(y.shape[0], block_b)
+    f32 = jnp.float32
+    dtype = y.dtype
+
+    def stage(y_i, base, c):
+        return _pallas_macaron(y_i, *tensors, num_heads=num_heads,
+                               scaler=scaler, block_b=bb, n_real=n_real,
+                               euler_dt=c, base=base)
+
+    def comb(*terms):
+        # stage-state combinations accumulate in f32 (bf16 states would
+        # leak rounding into the reconstructed dt*k_i terms)
+        acc = sum(w * t.astype(f32) for w, t in terms)
+        return acc.astype(dtype)
+
+    y2 = stage(y, None, dt / 3.0)                      # euler-mode stage
+    y3 = stage(y2, comb((2.0, y), (-1.0, y2)), dt)
+    y4 = stage(y3, comb((2.0, y2), (-1.0, y3)), dt)
+    return stage(y4, comb((-0.125, y), (0.75, y3), (0.375, y4)), dt / 8.0)

@@ -165,7 +165,9 @@ def fast_forward_macaron(model, params, images, *, block_b: int = 16,
     (kernels/macaron.py). The embed (Dense patchify + optional learned
     IVP + pos) and head (LayerNorm + Dense) replicate the flax model's
     inline math; the integration loop runs the fused kernel."""
-    from odevit_tpu.kernels.macaron import fused_macaron_from_params
+    from odevit_tpu.kernels.macaron import (
+        fused_macaron_euler_step_from_params, fused_macaron_from_params,
+        fused_macaron_rk4_step_from_params)
     from odevit_tpu.ops.patch_embed import patchify
 
     import numpy as np
@@ -207,14 +209,39 @@ def fast_forward_macaron(model, params, images, *, block_b: int = 16,
     scaler = drift_scaler(model.emulate_depth, model.time_interval)
     ts = (np.linspace(0.0, model.time_interval, model.num_eval_steps)
           if t_grid is None else np.asarray(t_grid))
+    uniform = (len(ts) < 3
+               or bool(np.allclose(np.diff(ts), ts[1] - ts[0])))
 
-    def f(t, y):
-        return fused_macaron_from_params(
-            y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-            block_b=block_b, use_pallas=use_pallas, n_real=n)
+    if model.solver == "euler" and use_pallas and uniform:
+        # fused Euler: y + dt*f(y) inside the kernel — one HBM state
+        # round trip per evaluation, no XLA elementwise pass
+        dt = float(ts[1] - ts[0])
 
-    y_final, _ = odeint(f, tokens, ts, method=model.solver,
-                        return_states=False)
+        def step(y, _):
+            return fused_macaron_euler_step_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                dt=dt, block_b=block_b, n_real=n), None
+
+        y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
+    elif model.solver == "rk4" and use_pallas and uniform:
+        # fused rk4 (Kutta 3/8): stage advances inside the kernel; the
+        # k_i slopes never round-trip HBM. Macaron's default solver.
+        dt = float(ts[1] - ts[0])
+
+        def step(y, _):
+            return fused_macaron_rk4_step_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                dt=dt, block_b=block_b, n_real=n), None
+
+        y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
+    else:
+        def f(t, y):
+            return fused_macaron_from_params(
+                y, params["vf"], num_heads=model.num_heads, scaler=scaler,
+                block_b=block_b, use_pallas=use_pallas, n_real=n)
+
+        y_final, _ = odeint(f, tokens, ts, method=model.solver,
+                            return_states=False)
 
     cls_final = _layer_norm(y_final[:, 0].astype(jnp.float32),
                             params["norm_head"]["scale"],

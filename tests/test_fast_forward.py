@@ -62,6 +62,23 @@ def test_fast_forward_dopri5():
                                atol=5e-3, rtol=5e-2)
 
 
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_fast_forward_macaron_fused_steps(solver):
+    """Macaron serving routes uniform euler/rk4 grids through the fused
+    stage-advance kernels (kernels/macaron.py); parity vs the flax model."""
+    from odevit_tpu.models.macaron import ViTMacaron
+    m = ViTMacaron(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+                   mlp_ratio=2.0, num_classes=7, emulate_depth=12.0,
+                   time_interval=1.0, num_eval_steps=5, solver=solver)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    want = m.apply(v, x)["logits"]
+    got = fast_forward(m, v["params"], x, block_b=4)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-3)
+
+
 def test_fast_forward_l2_attention():
     m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
                mlp_ratio=2.0, num_classes=7, emulate_depth=4,
