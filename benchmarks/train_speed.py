@@ -258,6 +258,7 @@ def variant_matrix(budget_s: float = 1500.0) -> dict:
         ("macaron_b1024", lambda: bench_macaron(batch=1024, iters=6)),
         ("tsbase_b64", lambda: bench_distill(batch=64, iters=5)),
         ("tsbase_b128", lambda: bench_distill(batch=128, iters=5)),
+        ("tsbase_b256", lambda: bench_distill(batch=256, iters=4)),
         ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
                                                   fused=False)),
     ]

@@ -106,6 +106,7 @@ def main(cfg):
         val = evaluate(val_loader, state.params, eval_step, logger=logger)
         if ckpt.save(state, metric=val["acc@1"]):
             print(f"Model Updated: val acc {val['acc@1']:.4f}")
+    ckpt.wait()   # drain the async save before process exit
     print("End of training")
     if logger:
         logger.finish()

@@ -179,6 +179,7 @@ def main(cfg):
         if ckpt.save(state, metric=val["acc@1"],
                      lr=float(sched(state.step))):
             print(f"Model Updated: val acc {val['acc@1']:.4f}")
+    ckpt.wait()   # drain the async save before process exit
     print("End of training")
     if logger:
         logger.finish()
