@@ -65,8 +65,9 @@ def main(cfg):
     logger = common.make_logger(cfg)
     mesh, bshard = common.setup_mesh_and_sharding()
     train_data, val_data, num_classes = common.build_datasets(cfg)
-    train_loader, val_loader = common.build_loaders(cfg, train_data,
-                                                    val_data, bshard)
+    train_loader, val_loader = common.build_loaders(
+        cfg, train_data, val_data, bshard,
+        with_indices=bool(cfg.setup.dict.get("cache_teacher", False)))
 
     img_size = int(cfg.modeling.student.inputs.img_size)
     preprocess = make_preprocess(image_size=img_size)
@@ -137,6 +138,40 @@ def main(cfg):
               + (f" (DP x{dp_mesh.shape['data']})"
                  if dp_mesh is not None else ""))
 
+    # frozen-teacher target cache (`setup.dict.cache_teacher: true`):
+    # precompute the per-sample CLS trajectory + last-attention rows once
+    # and delete the teacher forward from every step. Targets come from
+    # clean images, so augmentation is refused unless "force"d (see
+    # train/teacher_cache.py).
+    ct_cfg = sd.get("cache_teacher", False)
+    cache_teacher = bool(ct_cfg)
+    if cache_teacher and bool(cfg.data.dataset.get("augment", False)) \
+            and ct_cfg != "force":
+        print("[teacher-cache] augmentation is on and cache_teacher is "
+              "not 'force'; keeping the live teacher forward")
+        cache_teacher = False
+    teacher_pack = teacher_params
+    if cache_teacher:
+        imgs = getattr(train_loader, "images", None)
+        if imgs is None:
+            print("[teacher-cache] loader holds no in-memory images "
+                  "(ImageFolder); keeping the live teacher forward")
+            cache_teacher = False
+        else:
+            import time as _time
+            from odevit_tpu.train.teacher_cache import (build_teacher_cache,
+                                                        cache_nbytes)
+            t0 = _time.perf_counter()
+            teacher_pack = common.replicate(
+                build_teacher_cache(
+                    teacher, teacher_params, imgs, preprocess=preprocess,
+                    batch_size=int(cfg.data.collator.get(
+                        "val", {"batch_size": 256}).get("batch_size", 256))),
+                mesh)
+            print(f"[teacher-cache] {imgs.shape[0]} samples, "
+                  f"{cache_nbytes(teacher_pack) / 2**20:.0f} MB in "
+                  f"{_time.perf_counter() - t0:.1f}s")
+
     def make_step(tx):
         make = (make_fast_distill_train_step if fused
                 else make_distill_train_step)
@@ -149,7 +184,8 @@ def main(cfg):
             use_distillation=bool(sd.get("use_distillation", True)),
             use_kl_loss=bool(sd.get("use_kl_loss", False)),
             temperature=float(sd.get("temperature", 30.0)),
-            lr_schedule=sched, preprocess_fn=preprocess, **kw)
+            lr_schedule=sched, preprocess_fn=preprocess,
+            teacher_cache=cache_teacher, **kw)
 
     step_frozen = make_step(tx_frozen)
     step_open = make_step(tx_open)
@@ -165,7 +201,7 @@ def main(cfg):
         supervise = use_supervision and epoch > CURRICULUM_EPOCH
 
         def step_fn(state, batch, rng, _step=step, _sup=supervise):
-            return _step(state, teacher_params, batch, rng, supervise=_sup)
+            return _step(state, teacher_pack, batch, rng, supervise=_sup)
 
         state, tm = train_epoch(train_loader, state, step_fn, rng,
                                 epoch=epoch, logger=logger,

@@ -89,7 +89,8 @@ def build_datasets(cfg) -> Tuple[tuple, tuple, int]:
     return (train, None), (val, None), train.num_classes
 
 
-def build_loaders(cfg, train_data, val_data, sharding=None):
+def build_loaders(cfg, train_data, val_data, sharding=None,
+                  with_indices=False):
     tr_kw = dict(cfg.data.collator.train)
     va_kw = dict(cfg.data.collator.get("val", ConfigNode(batch_size=256)))
     # `data.dataset.augment: true` turns on the native batcher's pad-4
@@ -98,7 +99,7 @@ def build_loaders(cfg, train_data, val_data, sharding=None):
     augment = bool(cfg.data.dataset.get("augment", False))
     aug_pad = int(cfg.data.dataset.get("augment_pad", 4))
 
-    def mk(data, kw, seed, augment=False):
+    def mk(data, kw, seed, augment=False, with_indices=False):
         images, labels = data
         return ArrayLoader(
             images, labels,
@@ -106,9 +107,11 @@ def build_loaders(cfg, train_data, val_data, sharding=None):
             shuffle=bool(kw.get("shuffle", True)),
             drop_last=True,   # static shapes on TPU
             seed=seed, sharding=sharding,
-            augment=augment, augment_pad=aug_pad)
+            augment=augment, augment_pad=aug_pad,
+            with_indices=with_indices)
 
-    return (mk(train_data, tr_kw, 0, augment=augment),
+    return (mk(train_data, tr_kw, 0, augment=augment,
+               with_indices=with_indices),
             mk(val_data, va_kw, 1))
 
 

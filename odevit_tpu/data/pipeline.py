@@ -57,7 +57,8 @@ class ArrayLoader:
     def __init__(self, data, labels=None, *, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
                  seed: int = 0, sharding=None, prefetch: int = 2,
-                 augment: bool = False, augment_pad: int = 4):
+                 augment: bool = False, augment_pad: int = 4,
+                 with_indices: bool = False):
         self._folder = None
         if labels is None:          # ImageFolder-like object
             self._folder = data
@@ -75,6 +76,10 @@ class ArrayLoader:
         self.prefetch = prefetch
         self.augment = augment
         self.augment_pad = augment_pad
+        # emit each sample's dataset index as batch["index"] (int32) —
+        # consumed by the frozen-teacher target cache
+        # (train/teacher_cache.py) to gather per-sample targets
+        self.with_indices = with_indices
         self.epoch = 0
 
     def __len__(self):
@@ -98,7 +103,10 @@ class ArrayLoader:
             imgs = native.assemble_batch(
                 self.images, idx, augment=self.augment,
                 pad=self.augment_pad, seed=self.seed * 100003 + self.epoch)
-        return {"pixel_values": imgs, "labels": self.labels[idx]}
+        batch = {"pixel_values": imgs, "labels": self.labels[idx]}
+        if self.with_indices:
+            batch["index"] = np.asarray(idx, np.int32)
+        return batch
 
     def _device_put(self, batch):
         if self.sharding is not None:

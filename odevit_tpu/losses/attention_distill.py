@@ -89,10 +89,13 @@ def l1_attention_loss(student_attn, teacher_attn, *, lambda_param,
     Args:
       student_attn: [B, H, N, N] (registers already stripped); the CLS row
         excluding CLS->CLS is taken here.
-      teacher_attn: [B, H, M, M] teacher last-layer attention.
+      teacher_attn: [B, H, M, M] teacher last-layer attention, or
+        precomputed [B, H, M-1] CLS->patch rows (the frozen-teacher cache
+        stores only these — see train/teacher_cache.py).
     """
     s_rows = student_attn[:, :, 0, 1:]
-    t_rows = teacher_attn[:, :, 0, 1:]
+    t_rows = (teacher_attn[:, :, 0, 1:] if teacher_attn.ndim == 4
+              else teacher_attn)
     s_mean, _, _ = extract_mass(s_rows, threshold=student_threshold)
     t_mean, _, _ = extract_mass(t_rows, threshold=teacher_threshold)
     if conjugate:
@@ -108,9 +111,12 @@ def kl_attention_loss(student_attn, teacher_attn, *, lambda_param,
 
     The teacher mass is conjugated (max - mass) unconditionally, matching
     the reference's always-on JaSMin-teacher ad-hoc (loss_trainer.py:209-213).
+    ``teacher_attn`` may be the full [B, H, M, M] map or cached
+    [B, H, M-1] CLS->patch rows.
     """
     s_rows = student_attn[:, :, 0, 1:]
-    t_rows = teacher_attn[:, :, 0, 1:]
+    t_rows = (teacher_attn[:, :, 0, 1:] if teacher_attn.ndim == 4
+              else teacher_attn)
     s_mean, s_filt, _ = extract_mass(s_rows, threshold=student_threshold)
     t_mean, t_filt, _ = extract_mass(t_rows, threshold=teacher_threshold)
     t_filt = 1.0 - t_filt

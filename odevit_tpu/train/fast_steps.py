@@ -545,11 +545,16 @@ def make_fast_distill_train_step(
         lr_schedule: Optional[Callable] = None,
         preprocess_fn: Optional[Callable] = None, use_pallas: bool = True,
         block_b: int = 16, donate: bool = True, remat=None, mesh=None,
-        data_axis: str = "data"):
+        data_axis: str = "data", teacher_cache: bool = False):
     """Fused-kernel drop-in for train.steps.make_distill_train_step (the
     TS-Base hot loop). Teacher forward stays pure flax/XLA (a standard
     ViT-B — already MXU-shaped); the student fwd+bwd runs through the
     Pallas kernels.
+
+    With ``teacher_cache=True`` the step's second argument is a
+    precomputed target cache (train/teacher_cache.build_teacher_cache)
+    instead of the teacher params, the batch must carry ``index``, and
+    the in-step teacher forward disappears entirely.
 
     With ``mesh``, the step runs data-parallel via shard_map over
     ``data_axis`` (same design as make_fast_free_train_step): teacher +
@@ -571,9 +576,14 @@ def make_fast_distill_train_step(
         if preprocess_fn is not None:
             pixels = preprocess_fn(pixels)
 
-        t_out = teacher.apply({"params": teacher_params}, pixels)
-        t_states = jax.lax.stop_gradient(t_out["hidden_states"][1:])
-        t_attn_last = jax.lax.stop_gradient(t_out["attentions"][-1])
+        if teacher_cache:
+            from odevit_tpu.train.teacher_cache import gather_targets
+            t_states, t_attn_last = gather_targets(teacher_params,
+                                                   batch["index"])
+        else:
+            t_out = teacher.apply({"params": teacher_params}, pixels)
+            t_states = jax.lax.stop_gradient(t_out["hidden_states"][1:])
+            t_attn_last = jax.lax.stop_gradient(t_out["attentions"][-1])
 
         def loss_fn(params):
             return fast_distill_forward(

@@ -98,11 +98,17 @@ def make_distill_train_step(
     lr_schedule: Optional[Callable] = None,
     preprocess_fn: Optional[Callable] = None,
     donate: bool = True,
+    teacher_cache: bool = False,
 ):
     """Teacher-student trajectory distillation step.
 
     ``supervise`` (CE on, epoch > curriculum gate) is a static argument:
     exactly two specializations compile over a run.
+
+    With ``teacher_cache=True`` the second step argument is a
+    precomputed per-sample target cache (train/teacher_cache.py) rather
+    than the teacher params, and ``batch["index"]`` selects the rows —
+    the in-step teacher forward disappears.
     """
 
     def step(state, teacher_params, batch, rng, supervise: bool):
@@ -111,9 +117,14 @@ def make_distill_train_step(
         if preprocess_fn is not None:
             pixels = preprocess_fn(pixels)
 
-        t_out = teacher.apply({"params": teacher_params}, pixels)
-        t_states = jax.lax.stop_gradient(t_out["hidden_states"][1:])
-        t_attn_last = jax.lax.stop_gradient(t_out["attentions"][-1])
+        if teacher_cache:
+            from odevit_tpu.train.teacher_cache import gather_targets
+            t_states, t_attn_last = gather_targets(teacher_params,
+                                                   batch["index"])
+        else:
+            t_out = teacher.apply({"params": teacher_params}, pixels)
+            t_states = jax.lax.stop_gradient(t_out["hidden_states"][1:])
+            t_attn_last = jax.lax.stop_gradient(t_out["attentions"][-1])
 
         def loss_fn(params):
             s_out = student.apply(
