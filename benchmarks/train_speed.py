@@ -89,10 +89,17 @@ def bench_free(batch=256, jasmin=True, iters=10, fused=False,
             **_mfu_fields(train_step_flops(m, batch), best)}
 
 
-def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True):
+def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True,
+                  cached=False):
     """TS-Base distillation hot loop (loss_trainer.py:305-371 shapes):
     DINO-teacher forward + student trajectory + trajectory-MSE +
-    attention-L1 + JaSMin + update, 224px/768d, euler-36."""
+    attention-L1 + JaSMin + update, 224px/768d, euler-36.
+
+    ``cached=True`` benches the frozen-teacher target-cache step
+    (train/teacher_cache.py): targets gathered by sample index, no
+    in-step teacher forward. Its MFU is computed against the FLOPs the
+    step actually executes (teacher excluded); img/s carries the
+    speedup."""
     import jax
     import jax.numpy as jnp
     from odevit_tpu.models.vit_ode import ViTODE
@@ -126,25 +133,34 @@ def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True):
     make = (make_fast_distill_train_step if fused
             else make_distill_train_step)
     kw = {} if not fused else {"remat": None if remat else False}
+    tpack = tp
+    if cached:
+        from odevit_tpu.train.teacher_cache import build_teacher_cache
+        tpack = build_teacher_cache(teacher, tp,
+                                    np.asarray(data["pixel_values"]),
+                                    preprocess=pre, batch_size=batch)
+        data = dict(data, index=jax.device_put(
+            np.arange(batch, dtype=np.int32)))
+        kw["teacher_cache"] = True
     step = make(student, teacher, tx, lambda_param=0.5, jasmin_k=10,
                 mse_full_path=True, use_distillation=True,
                 preprocess_fn=pre, donate=False, **kw)
-    state, mm = step(state, tp, data, jax.random.PRNGKey(2), True)
+    state, mm = step(state, tpack, data, jax.random.PRNGKey(2), True)
     jax.block_until_ready(mm["loss"])
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, mm = step(state, tp, data, jax.random.PRNGKey(2), True)
+        state, mm = step(state, tpack, data, jax.random.PRNGKey(2), True)
         jax.block_until_ready(mm["loss"])
         best = min(best, time.perf_counter() - t0)
     from odevit_tpu.analysis.flops import distill_step_flops
     return {"mode": "distill_train", "batch": batch, "fused": fused,
-            "drop": drop, "remat": remat,
+            "drop": drop, "remat": remat, "cached": cached,
             "step_ms": round(best * 1e3, 1),
             "images_per_sec": round(batch / best, 1),
             "loss": float(mm["loss"]),
-            **_mfu_fields(distill_step_flops(student, teacher, batch),
-                          best)}
+            **_mfu_fields(distill_step_flops(
+                student, None if cached else teacher, batch), best)}
 
 
 def bench_l2(batch=1024, iters=6, fused=True, remat=True):
@@ -259,6 +275,10 @@ def variant_matrix(budget_s: float = 1500.0) -> dict:
         ("tsbase_b64", lambda: bench_distill(batch=64, iters=5)),
         ("tsbase_b128", lambda: bench_distill(batch=128, iters=5)),
         ("tsbase_b256", lambda: bench_distill(batch=256, iters=4)),
+        ("tsbase_b64_cached", lambda: bench_distill(batch=64, iters=5,
+                                                    cached=True)),
+        ("tsbase_b256_cached", lambda: bench_distill(batch=256, iters=4,
+                                                     cached=True)),
         ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
                                                   fused=False)),
     ]

@@ -90,9 +90,10 @@ def train_step_flops(model, batch: int, *, kind: str = "vit") -> float:
 
 
 def distill_step_flops(student, teacher, batch: int) -> float:
-    """One TS distillation step: frozen teacher fwd + student fwd+bwd."""
-    return (vit_teacher_fwd_flops(teacher)
-            + 3.0 * vit_ode_fwd_flops(student)) * batch
+    """One TS distillation step: frozen teacher fwd + student fwd+bwd.
+    ``teacher=None`` counts the teacher-cache step (student only)."""
+    t = vit_teacher_fwd_flops(teacher) if teacher is not None else 0.0
+    return (t + 3.0 * vit_ode_fwd_flops(student)) * batch
 
 
 def mfu(flops_per_step: float, step_seconds: float,

@@ -160,11 +160,17 @@ def _layer_norm(x, scale, bias, eps=1e-6):
 
 
 def fast_forward_macaron(model, params, images, *, block_b: int = 16,
-                         use_pallas: bool = True, t_grid=None):
+                         use_pallas: bool = True, t_grid=None,
+                         differentiable: bool = False):
     """ViTMacaron inference through the fused Macaron kernel
     (kernels/macaron.py). The embed (Dense patchify + optional learned
     IVP + pos) and head (LayerNorm + Dense) replicate the flax model's
-    inline math; the integration loop runs the fused kernel."""
+    inline math; the integration loop runs the fused kernel.
+
+    ``differentiable=True`` (the training step) keeps plain f-eval
+    integration through ``fused_macaron`` (which carries the native
+    backward); the default serving path takes the fused Euler /
+    Kutta-3/8 stage-advance routes, which are forward-only."""
     from odevit_tpu.kernels.macaron import (
         fused_macaron_euler_step_from_params, fused_macaron_from_params,
         fused_macaron_rk4_step_from_params)
@@ -212,7 +218,8 @@ def fast_forward_macaron(model, params, images, *, block_b: int = 16,
     uniform = (len(ts) < 3
                or bool(np.allclose(np.diff(ts), ts[1] - ts[0])))
 
-    if model.solver == "euler" and use_pallas and uniform:
+    if (model.solver == "euler" and use_pallas and uniform
+            and not differentiable):
         # fused Euler: y + dt*f(y) inside the kernel — one HBM state
         # round trip per evaluation, no XLA elementwise pass
         dt = float(ts[1] - ts[0])
@@ -223,7 +230,8 @@ def fast_forward_macaron(model, params, images, *, block_b: int = 16,
                 dt=dt, block_b=block_b, n_real=n), None
 
         y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
-    elif model.solver == "rk4" and use_pallas and uniform:
+    elif (model.solver == "rk4" and use_pallas and uniform
+          and not differentiable):
         # fused rk4 (Kutta 3/8): stage advances inside the kernel; the
         # k_i slopes never round-trip HBM. Macaron's default solver.
         dt = float(ts[1] - ts[0])

@@ -667,7 +667,8 @@ def make_fast_macaron_train_step(model, tx, *,
         def loss_fn(params):
             out = fast_forward_macaron(model, params, pixels,
                                        block_b=block_b,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       differentiable=True)
             loss = cross_entropy(out["logits"], batch["labels"])
             return loss, out["logits"]
 
