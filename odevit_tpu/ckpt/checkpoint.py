@@ -65,6 +65,17 @@ class CheckpointManager:
     def wait(self):
         self._ckptr.wait_until_finished()
 
+    def restore_params(self, params_target):
+        """Params-only partial restore (serving/eval: no optimizer state
+        needed, and the saved opt-state layout may belong to a different
+        optimizer than the caller's)."""
+        self.wait()
+        path = os.path.join(self.dir, "state")
+        restored = ocp.PyTreeCheckpointer().restore(
+            path, args=ocp.args.PyTreeRestore(
+                item={"params": params_target}, partial_restore=True))
+        return restored["params"]
+
     def restore(self, target_state):
         """Restore into the structure of ``target_state`` (shapes/dtypes
         must match; shardings follow the target)."""

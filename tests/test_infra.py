@@ -160,6 +160,14 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(state.params["head"]["kernel"]))
     assert meta["best_metric"] == 0.6
 
+    # params-only partial restore (serving: caller's optimizer layout
+    # need not match the saved opt state)
+    p = cm.restore_params(
+        jax.tree_util.tree_map(jnp.zeros_like, v["params"]))
+    np.testing.assert_array_equal(
+        np.asarray(p["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]))
+
 
 def test_reference_pt_import(tmp_path):
     """Round-trip: export our params under reference torch names, import

@@ -1,0 +1,80 @@
+"""Serving engine: bucketed micro-batching returns the same logits as a
+direct fused forward, under concurrent submission."""
+
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from odevit_tpu.models.vit_ode import ViTODE
+from odevit_tpu.models.fast_forward import fast_forward
+from odevit_tpu.serve.engine import ServingEngine
+
+
+def setup():
+    m = ViTODE(img_size=16, patch_size=4, embed_dim=32, num_heads=2,
+               mlp_ratio=2.0, num_classes=7, emulate_depth=4,
+               time_interval=1.0, num_eval_steps=5, solver="rk4",
+               register_tokens=2)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    return m, params, rng
+
+
+def test_engine_matches_direct_forward():
+    m, params, rng = setup()
+    with ServingEngine(m, params, batch_buckets=(2, 4, 8),
+                       max_delay_ms=1.0, use_pallas=False) as eng:
+        for b in (1, 3, 8, 11):   # odd sizes, incl. > max bucket
+            x = rng.standard_normal((b, 16, 16, 3)).astype(np.float32)
+            got = eng.submit(x).result(timeout=60)
+            want = np.asarray(fast_forward(m, params, jnp.asarray(x),
+                                           use_pallas=False)["logits"])
+            assert got.shape == (b, 7)
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+        s = eng.stats()
+        assert s["requests"] == 4 and s["images"] == 23
+        assert s["mean_latency_ms"] > 0
+
+
+def test_engine_concurrent_submits():
+    m, params, rng = setup()
+    xs = [rng.standard_normal((i % 3 + 1, 16, 16, 3)).astype(np.float32)
+          for i in range(12)]
+    wants = [np.asarray(fast_forward(m, params, jnp.asarray(x),
+                                     use_pallas=False)["logits"])
+             for x in xs]
+    with ServingEngine(m, params, batch_buckets=(4, 16),
+                       max_delay_ms=5.0, use_pallas=False) as eng:
+        futs = [None] * len(xs)
+
+        def worker(i):
+            futs[i] = eng.submit(xs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(xs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=60), wants[i],
+                                       atol=2e-5, rtol=1e-4)
+        s = eng.stats()
+        assert s["requests"] == 12
+        # coalescing happened: fewer device batches than requests
+        assert s["batches"] <= s["requests"]
+
+
+def test_engine_rejects_bad_shape():
+    m, params, _ = setup()
+    with ServingEngine(m, params, batch_buckets=(2,), max_delay_ms=0.5,
+                       use_pallas=False) as eng:
+        try:
+            eng.submit(np.zeros((1, 8, 8, 3), np.float32))
+            raised = False
+        except AssertionError:
+            raised = True
+        assert raised
