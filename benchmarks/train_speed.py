@@ -90,7 +90,7 @@ def bench_free(batch=256, jasmin=True, iters=10, fused=False,
 
 
 def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True,
-                  cached=False):
+                  cached=False, mlp_ratio=4.0):
     """TS-Base distillation hot loop (loss_trainer.py:305-371 shapes):
     DINO-teacher forward + student trajectory + trajectory-MSE +
     attention-L1 + JaSMin + update, 224px/768d, euler-36.
@@ -117,8 +117,11 @@ def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True,
             "labels": jax.device_put(rng.integers(0, 100, batch)
                                      .astype(np.int32))}
     pre = make_preprocess(None, dtype=jnp.bfloat16)
+    # mlp_ratio 4.0 is the ledger's historical "TS-Base" shape; the
+    # reference's actual TS-Base student is ~7M params (mlp_ratio 1.0,
+    # README.md:60-62) — benched as the tsref_* variants
     student = ViTODE(img_size=224, patch_size=16, embed_dim=768,
-                     num_heads=12, mlp_ratio=4.0, num_classes=100,
+                     num_heads=12, mlp_ratio=mlp_ratio, num_classes=100,
                      emulate_depth=12.0, time_interval=1.0,
                      num_eval_steps=37, solver="euler",
                      register_tokens=0, remat=remat, dtype=jnp.bfloat16,
@@ -279,6 +282,11 @@ def variant_matrix(budget_s: float = 1500.0) -> dict:
                                                     cached=True)),
         ("tsbase_b256_cached", lambda: bench_distill(batch=256, iters=4,
                                                      cached=True)),
+        ("tsref_b64", lambda: bench_distill(batch=64, iters=5,
+                                            mlp_ratio=1.0)),
+        ("tsref_b256_cached", lambda: bench_distill(batch=256, iters=4,
+                                                    cached=True,
+                                                    mlp_ratio=1.0)),
         ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
                                                   fused=False)),
     ]
