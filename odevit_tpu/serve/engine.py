@@ -99,6 +99,14 @@ class ServingEngine:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail any requests still queued so callers don't hang
+        while True:
+            try:
+                _, fut, _ = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("engine closed"))
 
     def __enter__(self):
         return self
