@@ -69,6 +69,7 @@ for row in "${ROWS[@]}"; do
     tsbase10)
       run main_classification_ode_distillation.py \
         -c experiment_classification_edo_distillation -cp "$CP" \
+        -o setup.dict.cache_teacher=true \
         -o data.dataset.name=cifar10 \
         -o modeling.student.inputs.num_classes=10 \
         -o modeling.teacher.checkpoint_path=checkpoints/Vit_CIFAR10_DINO \
@@ -76,11 +77,13 @@ for row in "${ROWS[@]}"; do
     tsbase100)
       run main_classification_ode_distillation.py \
         -c experiment_classification_edo_distillation -cp "$CP" \
+        -o setup.dict.cache_teacher=true \
         -o modeling.teacher.checkpoint_path=checkpoints/Vit_CIFAR100_DINO ;;
     # --- TS-Small rows (README.md:63-64) -------------------------------
     tssmall10)
       run main_classification_ode_distillation.py \
         -c experiment_classification_edo_distillation -cp "$CP" \
+        -o setup.dict.cache_teacher=true \
         -o data.dataset.name=cifar10 \
         -o modeling.student.inputs.num_classes=10 \
         -o modeling.teacher.checkpoint_path=checkpoints/Vit_CIFAR10_DINO \
@@ -88,6 +91,7 @@ for row in "${ROWS[@]}"; do
     tssmall100)
       run main_classification_ode_distillation.py \
         -c experiment_classification_edo_distillation -cp "$CP" \
+        -o setup.dict.cache_teacher=true \
         -o modeling.teacher.checkpoint_path=checkpoints/Vit_CIFAR100_DINO \
         "${SMALL_OVR[@]}" ;;
     *) echo "unknown row: $row"; exit 1 ;;
