@@ -18,6 +18,24 @@ import time
 import numpy as np
 
 
+def _retry(fn, attempts=3, sleep_s=20.0):
+    """Retry a compile/run thunk: the tunneled TPU runtime's remote
+    compile helper intermittently 500s (observed right after a VM boot);
+    the same program compiles fine seconds later. Never let a transient
+    helper crash zero out a bench path."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:                            # noqa: BLE001
+            last = e
+            if "remote_compile" not in str(e) and "INTERNAL" not in str(e):
+                raise
+            if i + 1 < attempts:
+                time.sleep(sleep_s)
+    raise last
+
+
 def main():
     import os
     import jax
@@ -82,7 +100,7 @@ def main():
         small = big[:256]
         fwd_x = paths["xla-rk4x13"]
         fwd_p = make_fwd(models["rk4x13"], True)
-        err_fwd = rel_l2(jax.device_get(fwd_p(params, small)),
+        err_fwd = rel_l2(_retry(lambda: jax.device_get(fwd_p(params, small))),
                          jax.device_get(fwd_x(params, small)))
 
         # backward: CE-loss gradients through the fused kernel vjp vs the
@@ -104,8 +122,8 @@ def main():
                                  output_attentions=True, jasmin_k=10)
                 return out["loss"] + out["jasmin_loss"]
 
-            gf = jax.device_get(
-                jax.jit(jax.grad(loss_fused), **_fused_jit_kwargs())(p))
+            gf = _retry(lambda: jax.device_get(
+                jax.jit(jax.grad(loss_fused), **_fused_jit_kwargs())(p)))
             gx = jax.device_get(jax.jit(jax.grad(loss_flax))(p))
             return gf, gx
 
@@ -163,7 +181,7 @@ def main():
     dropout_parity = {}
     try:
         from benchmarks.tpu_dropout_check import run_checks
-        r = run_checks()
+        r = _retry(run_checks)
         dropout_parity = {
             "ok": bool(r.get("ok", False)),
             **{k: v for k, v in r.items()
@@ -179,7 +197,8 @@ def main():
         images = big[:batch]
         for name, fwd in paths.items():
             try:
-                jax.block_until_ready(fwd(params, images))  # compile/warmup
+                _retry(lambda: jax.block_until_ready(
+                    fwd(params, images)))                   # compile/warmup
             except Exception as e:                          # noqa: BLE001
                 # a cold Pallas compile cache or runtime quirk must never
                 # zero out the benchmark — fall through to other paths

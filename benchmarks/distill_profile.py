@@ -89,9 +89,13 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
     # 2. student fused forward (loss only, no grad)
     key = jax.random.PRNGKey(2)
 
-    def loss_fn(params, px, lab, rng):
+    # t_states is ~240MB at B=64: it MUST be a traced argument, not a
+    # closed-over constant — jit bakes captured concrete arrays into the
+    # serialized program, which blows the remote-compile body limit
+    # (observed as HTTP 413 over the tunnel)
+    def loss_fn(params, px, lab, rng, ts, ta):
         loss, aux = fast_distill_forward(
-            student, params, pre(px), lab, t_states, t_attn,
+            student, params, pre(px), lab, ts, ta,
             jasmin_k=10, temperature=3.0, lambda_param=0.5,
             mse_full_path=True, use_distillation=True,
             rng=rng if drop > 0 else None, remat=False)
@@ -99,12 +103,12 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
 
     fwd = jax.jit(loss_fn, **jit_kw)
     out["student_fwd_loss_ms"] = _time(fwd, sp, pixels_u8, labels, key,
-                                       iters=iters)
+                                       t_states, t_attn, iters=iters)
 
     # 3. loss vjp (fwd + bwd, no optimizer)
     grad = jax.jit(jax.grad(loss_fn), **jit_kw)
     out["student_grad_ms"] = _time(grad, sp, pixels_u8, labels, key,
-                                   iters=iters)
+                                   t_states, t_attn, iters=iters)
     out["student_bwd_only_ms"] = round(
         out["student_grad_ms"] - out["student_fwd_loss_ms"], 2)
 

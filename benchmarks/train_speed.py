@@ -301,6 +301,16 @@ def variant_matrix(budget_s: float = 1500.0) -> dict:
             r = fn()
             out[name] = {k: r[k] for k in keep if k in r}
         except Exception as e:                             # noqa: BLE001
+            # retry once: the tunneled remote-compile helper 500s
+            # transiently (observed right after VM boot)
+            if "remote_compile" in str(e) or "INTERNAL" in str(e):
+                time.sleep(20.0)
+                try:
+                    r = fn()
+                    out[name] = {k: r[k] for k in keep if k in r}
+                    continue
+                except Exception as e2:                    # noqa: BLE001
+                    e = e2
             out[name] = {"error": str(e)[:160]}
     return out
 
