@@ -78,10 +78,16 @@ def main(cfg):
     ckpt = CheckpointManager(cfg.get("checkpoint_dir", "checkpoints"),
                              str(cfg.modeling.get("checkpoint_name",
                                                   "vit_ode")))
+    start_epoch = 1
     if cfg.get("infer_from_checkpoint", False) and ckpt.exists():
         state, meta = ckpt.restore(state)
+        # resume at the epoch implied by the optimizer step counter so
+        # the LR schedule position and epoch numbering stay consistent
+        start_epoch = int(jax.device_get(state.step)) \
+            // max(1, steps_per_epoch) + 1
         print(f"[ckpt] restored step {meta.get('step')} "
-              f"best {meta.get('best_metric')}")
+              f"best {meta.get('best_metric')} "
+              f"-> resuming at epoch {start_epoch}")
 
     jasmin_k = int(cfg.setup.dict.get("jasmin",
                                       cfg.setup.dict.get("jasmin_k", 10)))
@@ -149,7 +155,7 @@ def main(cfg):
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     log_every = int(cfg.setup.dict.get("log_every", 100))
     bounds = bounds_fn if model_type == "vit" else None
-    for epoch in range(1, epochs):
+    for epoch in range(start_epoch, epochs):
         state, train_metrics = train_epoch(
             train_loader, state, step_fn, rng, epoch=epoch, logger=logger,
             log_every=log_every, bounds_fn=bounds)

@@ -102,12 +102,19 @@ def main(cfg):
     ckpt = CheckpointManager(
         cfg.get("checkpoint_dir", "checkpoints"),
         str(cfg.modeling.student.get("checkpoint_name", "edo_distill")))
+    start_epoch = 1
     if cfg.select("finetunne.recover_training", False):
         ref = str(cfg.finetunne.checkpoint)
         if ckpt.exists():
             state, meta = ckpt.restore(state)
+            # resume where the checkpoint left off: the optimizer step
+            # counter is the source of truth (the LR schedule and the
+            # curriculum unfreeze both key off epochs-elapsed, so a
+            # recovery must not replay them from epoch 1)
+            start_epoch = int(jax.device_get(state.step)) \
+                // max(1, steps_per_epoch) + 1
             print(f"Recovering training from checkpoint: step "
-                  f"{meta.get('step')}")
+                  f"{meta.get('step')} -> resuming at epoch {start_epoch}")
         elif ref.endswith(".pt"):
             from odevit_tpu.ckpt.checkpoint import \
                 load_reference_vitode_checkpoint
@@ -195,7 +202,7 @@ def main(cfg):
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     log_every = int(sd.get("log_every", 100))
 
-    for epoch in range(1, epochs):
+    for epoch in range(start_epoch, epochs):
         head_open = curriculum and epoch >= CURRICULUM_EPOCH
         step = step_open if head_open else step_frozen
         supervise = use_supervision and epoch > CURRICULUM_EPOCH

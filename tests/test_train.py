@@ -240,3 +240,27 @@ def test_checkpoint_recover_roundtrip_with_distill_state(tmp_path):
     restored, metrics = step(restored, batch, jax.random.PRNGKey(9))
     assert int(restored.step) == 4
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_recover_resumes_at_checkpoint_epoch(tmp_path):
+    """A recovered run must resume the epoch loop where the checkpoint
+    left off (epoch = step // steps_per_epoch + 1), not replay from 1 —
+    otherwise the curriculum unfreeze and LR schedule would be mistimed
+    after a VM restart."""
+    from odevit_tpu.ckpt.checkpoint import CheckpointManager
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    tx = make_optimizer(1e-3, trainable_mask=all_trainable(v["params"]))
+    state = create_train_state(v["params"], tx)
+    step = make_free_train_step(m, tx, jasmin_k=2, donate=False)
+    steps_per_epoch = 4
+    for i in range(2 * steps_per_epoch):          # two complete epochs
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    cm = CheckpointManager(str(tmp_path), "resume_epoch")
+    assert cm.save(state, metric=0.1)
+    fresh = create_train_state(v["params"], tx)
+    restored, _ = cm.restore(fresh)
+    start_epoch = int(jax.device_get(restored.step)) \
+        // max(1, steps_per_epoch) + 1
+    assert start_epoch == 3
