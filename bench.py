@@ -39,6 +39,9 @@ def _retry(fn, attempts=3, sleep_s=20.0):
 def main():
     import os
     import jax
+    from odevit_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax.numpy as jnp
 
     from odevit_tpu.models.vit_ode import ViTODE

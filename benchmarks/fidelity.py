@@ -11,6 +11,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from odevit_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 import numpy as np
 
 

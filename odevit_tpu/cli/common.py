@@ -35,6 +35,11 @@ def parse_args(argv=None):
 
 
 def load_config(args) -> ConfigNode:
+    # every entry point gets the persistent XLA compile cache: recovered
+    # runs and config re-runs skip straight past the (minutes-long,
+    # remote) TPU compiles
+    from odevit_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     with initialize(version_base="1.3.2", config_path=args.config_path):
         cfg = compose(config_name=args.config_file,
                       overrides=args.override)
