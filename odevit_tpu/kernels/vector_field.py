@@ -266,6 +266,10 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     # the lane axis (no transposes, no per-image loop).
     bdims = (((2,), (2,)), ((0,), (0,)))       # contract hd, batch TB
     pdims = (((2,), (1,)), ((0,), (0,)))       # [TB,N,N] x [TB,N,hd]
+    jas_ids = (jax.lax.broadcasted_iota(
+        jnp.int32, (block_b, n_pad, n_pad), 2).astype(jnp.float32)
+        if jas_kk else None)                   # hoisted: one VPU pass,
+    #                                            not one per head
     for hh in range(num_heads):                # static, small
         q32 = qkv[:, :, hh * hd:(hh + 1) * hd].astype(jnp.float32)
         k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(jnp.float32)
@@ -305,8 +309,7 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             cur = p.astype(jnp.float32)
             jas_ref[:, hh, 4, :] = jnp.sum(
                 jnp.clip(cur, 1e-12, 1.0), axis=-1)
-            ids = jax.lax.broadcasted_iota(
-                jnp.int32, (block_b, n_pad, n_pad), 2).astype(jnp.float32)
+            ids = jas_ids
             for j in range(kk):
                 m = jnp.max(cur, axis=-1, keepdims=True)
                 if j == 0:

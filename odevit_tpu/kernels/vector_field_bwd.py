@@ -131,6 +131,9 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     pdims = (((2,), (1,)), ((0,), (0,)))      # [TB,N,N] x [TB,N,hd]
 
     g = g_ref[:].astype(f32) * scaler          # mo_bar == ao_bar (no drop)
+    jas_ids = (jax.lax.broadcasted_iota(
+        jnp.int32, (block_b, n_pad, n_pad), 2).astype(f32)
+        if jas_kk else None)                   # hoisted out of the head loop
 
     # ---- MLP backward ----
     if mlp_drop > 0.0:
@@ -223,8 +226,7 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             kk = jas_kk
             gj = gjas_ref[:, hh]                        # [TB, 5, N_q]
             pj = p.astype(dtype).astype(f32)
-            ids = jax.lax.broadcasted_iota(
-                jnp.int32, (block_b, n_pad, n_pad), 2).astype(f32)
+            ids = jas_ids
             # match the XLA twin's jnp.clip subgradient exactly: 1 strictly
             # inside (1e-12, 1.0), 0.5 AT either boundary (JAX min/max
             # tie-splitting — bf16 rows round to exactly 1.0 on peaked
