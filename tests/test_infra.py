@@ -214,3 +214,17 @@ def test_reference_pt_import(tmp_path):
     out1 = m.apply({"params": imported}, x)["logits"]
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
                                atol=1e-6)
+
+
+def test_public_api_surface():
+    """Every name in the top-level lazy API resolves to a real object,
+    and the import itself is jax-free until an attribute is touched."""
+    import odevit_tpu
+    assert odevit_tpu.__version__
+    for name in odevit_tpu.__all__:
+        if name == "__version__":
+            continue
+        assert getattr(odevit_tpu, name) is not None, name
+    import pytest
+    with pytest.raises(AttributeError):
+        odevit_tpu.not_a_real_export
