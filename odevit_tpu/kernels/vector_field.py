@@ -270,6 +270,9 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         jnp.int32, (block_b, n_pad, n_pad), 2).astype(jnp.float32)
         if jas_kk else None)                   # hoisted: one VPU pass,
     #                                            not one per head
+    # ids - n_pad, precomputed so the per-pass suppression mask is two
+    # ops (mul+add): is_m*(ids-n_pad)+n_pad == ids*is_m+(1-is_m)*n_pad
+    jas_ids_shift = jas_ids - float(n_pad) if jas_kk else None
     for hh in range(num_heads):                # static, small
         q32 = qkv[:, :, hh * hd:(hh + 1) * hd].astype(jnp.float32)
         k = qkv[:, :, d + hh * hd:d + (hh + 1) * hd].astype(jnp.float32)
@@ -322,7 +325,7 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                     jas_ref[:, hh, 3, :] = m[:, :, 0]
                 if j < kk - 1:
                     is_m = (cur >= m).astype(jnp.float32)
-                    masked = ids * is_m + (1.0 - is_m) * float(n_pad)
+                    masked = is_m * jas_ids_shift + float(n_pad)
                     fidx = jnp.min(masked, axis=-1, keepdims=True)
                     first = (ids == fidx).astype(jnp.float32)
                     cur = cur - first * 1e30

@@ -134,6 +134,7 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     jas_ids = (jax.lax.broadcasted_iota(
         jnp.int32, (block_b, n_pad, n_pad), 2).astype(f32)
         if jas_kk else None)                   # hoisted out of the head loop
+    jas_ids_shift = jas_ids - float(n_pad) if jas_kk else None
 
     # ---- MLP backward ----
     if mlp_drop > 0.0:
@@ -241,7 +242,7 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             for j in range(kk):
                 m = jnp.max(cur, axis=-1, keepdims=True)
                 is_m = (cur >= m).astype(f32)
-                masked = ids * is_m + (1.0 - is_m) * float(n_pad)
+                masked = is_m * jas_ids_shift + float(n_pad)
                 fidx = jnp.min(masked, axis=-1, keepdims=True)
                 first = (ids == fidx).astype(f32)
                 c = None
