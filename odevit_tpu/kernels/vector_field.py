@@ -612,9 +612,12 @@ fused_vf.defvjp(_fused_vf_fwd, _fused_vf_bwd)
 
 def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
                          scaler: float, block_b: int = 16,
-                         use_pallas: bool = True, n_real: int = 0):
+                         use_pallas: bool = True, n_real: int = 0,
+                         vmem_budget=None):
     """Apply the fused kernel (or its XLA twin) from a ParallelVectorField
-    params subtree (params['vf'])."""
+    params subtree (params['vf']). ``vmem_budget`` overrides the tile
+    chooser's VMEM budget — training steps pass their jit's raised
+    scoped-limit plan so forward kernels tile as large as it allows."""
     args = (x,
             vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
             vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
@@ -623,7 +626,8 @@ def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
     if use_pallas:
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
-                          num_heads, requested=block_b)
+                          num_heads, requested=block_b,
+                          budget_override=vmem_budget)
         return fused_vf(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real)
@@ -835,7 +839,8 @@ fused_vf_attn.defvjp(_fused_vf_attn_fwd, _fused_vf_attn_bwd)
 
 def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
                               scaler: float, block_b: int = 16,
-                              use_pallas: bool = True, n_real: int = 0):
+                              use_pallas: bool = True, n_real: int = 0,
+                              vmem_budget=None):
     args = (x,
             vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
             vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
@@ -844,7 +849,8 @@ def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
     if use_pallas:
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
-                          num_heads, emit_attn=True, requested=block_b)
+                          num_heads, emit_attn=True, requested=block_b,
+                          budget_override=vmem_budget)
         return fused_vf_attn(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, return_attn=True)
@@ -942,7 +948,7 @@ def fused_vf_jasmin_from_params(x, vf_params, *, num_heads: int,
                                 scaler: float, jas_k: int,
                                 block_b: int = 16, use_pallas: bool = True,
                                 n_real: int = 0, seed=None,
-                                drops=(0.0, 0.0, 0.0)):
+                                drops=(0.0, 0.0, 0.0), vmem_budget=None):
     """(dx, jas_stats) through the fused kernel (or the XLA twin +
     jasmin_order_stats for non-Pallas paths). Requires
     n >= max(jas_k, 1) + 1 real tokens (callers gate on this and fall
@@ -953,7 +959,8 @@ def fused_vf_jasmin_from_params(x, vf_params, *, num_heads: int,
     if use_pallas:
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
-                          num_heads, emit_jas=True, requested=block_b)
+                          num_heads, emit_jas=True, requested=block_b,
+                          budget_override=vmem_budget)
         if has_drop:
             return fused_vf_jasmin_dropout(
                 *args, seed, num_heads, scaler, bb,
@@ -1085,7 +1092,14 @@ BWD_VMEM_BUDGET = 24 * 1024 * 1024   # headroom under the raised limit;
 # instead of falling back to the XLA-twin vjp. v5e has 128MB VMEM/core;
 # 64MB scoped leaves half for XLA's own buffers.
 BWD_SCOPED_VMEM_KIB_BIG = 64 * 1024
-BWD_VMEM_BUDGET_BIG = 56 * 1024 * 1024
+# 62MB budget vs the 64MB limit: the estimate's weight term counts the
+# bf16 working copies plus the f32 accumulators (6 bytes/param, matching
+# the split-path estimates), which was measured ~4% conservative vs
+# Mosaic's actual frame at TS-Base (estimate 68.8MiB vs 65.8MiB actual
+# at the bb=2 tile the 64MB limit rejects) — so a 2MB margin suffices,
+# and the round-2-proven bb=1 jas-emitting backward (est. 56.7MiB)
+# stays admitted.
+BWD_VMEM_BUDGET_BIG = 62 * 1024 * 1024
 
 
 def _bwd_min_bytes(n, d, dh, num_heads, *, emit_attn=False,
@@ -1099,7 +1113,7 @@ def _bwd_min_bytes(n, d, dh, num_heads, *, emit_attn=False,
         per_img += num_heads * n_pad * n_pad * 2
     if emit_jas:
         per_img += 24 * n_pad * n_pad
-    return 2 * weights + 2 * per_img + 2 * 3 * n_pad * d
+    return 3 * weights + 2 * per_img + 2 * 3 * n_pad * d
 
 
 def bwd_vmem_plan(n, d, dh, num_heads, *, emit_attn=False,
@@ -1136,7 +1150,8 @@ def bwd_compiler_options(n=None, d=None, dh=None, num_heads=None, *,
 
 
 def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
-                 emit_jas=False, requested=16, bwd=False):
+                 emit_jas=False, requested=16, bwd=False,
+                 budget_override=None):
     """Largest batch tile (halving from ``requested``, dividing ``b``)
     whose estimated VMEM footprint fits. The estimate mirrors the
     kernel's live set: activations/qkv/hidden at 2B + f32 attention
@@ -1155,10 +1170,17 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
         per_img += 24 * n_pad * n_pad
     if bwd:
         per_img = 2 * per_img + 2 * 3 * n_pad * d    # qkv_bar scratch etc.
-        weights *= 2                                  # w + w_bar accums
+        weights *= 3     # bf16 working copies + f32 w_bar accumulators
     # the jasmin-emitting paths run only under the train-step jits,
-    # which raise the scoped-VMEM limit (bwd_compiler_options)
-    if bwd:
+    # which raise the scoped-VMEM limit (bwd_compiler_options).
+    # budget_override: training steps know their jit's raised limit and
+    # pass the shape plan's budget so FORWARD kernels also tile against
+    # it — the default budgets assume the conservative serving limits
+    # (16MB default scoped vmem), which left the TS-Base forward at a
+    # 4-8x smaller tile than its train jit allows
+    if budget_override is not None:
+        budget = budget_override
+    elif bwd:
         budget = bwd_vmem_plan(n, d, dh, num_heads, emit_attn=emit_attn,
                                emit_jas=emit_jas)[1]
     elif emit_jas:
@@ -1184,12 +1206,13 @@ def _fit_block(b, block_b):
 
 def fused_vf_dropout_from_params(x, vf_params, seed, *, num_heads: int,
                                  scaler: float, drops, block_b: int = 16,
-                                 n_real: int = 0):
+                                 n_real: int = 0, vmem_budget=None):
     """Dropout fused evaluation from a params subtree.
     ``drops`` = (attn_drop, proj_drop, mlp_drop)."""
     bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
-                      num_heads, requested=block_b)
+                      num_heads, requested=block_b,
+                      budget_override=vmem_budget)
     return fused_vf_dropout(*_vf_args(x, vf_params), seed, num_heads,
                             scaler, bb, n_real, *drops)
 
@@ -1197,10 +1220,11 @@ def fused_vf_dropout_from_params(x, vf_params, seed, *, num_heads: int,
 def fused_vf_attn_dropout_from_params(x, vf_params, seed, *,
                                       num_heads: int, scaler: float,
                                       drops, block_b: int = 16,
-                                      n_real: int = 0):
+                                      n_real: int = 0, vmem_budget=None):
     bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
-                      num_heads, emit_attn=True, requested=block_b)
+                      num_heads, emit_attn=True, requested=block_b,
+                      budget_override=vmem_budget)
     return fused_vf_attn_dropout(*_vf_args(x, vf_params), seed, num_heads,
                                  scaler, bb, n_real, *drops)
 
@@ -1284,7 +1308,7 @@ def fused_vf_l2_jasmin_from_params(x, vf_params, *, num_heads: int,
                                    scaler: float, jas_k: int,
                                    block_b: int = 16,
                                    use_pallas: bool = True,
-                                   n_real: int = 0):
+                                   n_real: int = 0, vmem_budget=None):
     """(dx, jas_stats) for the L2 vector field (see
     fused_vf_jasmin_from_params)."""
     from odevit_tpu.losses.jasmin import jasmin_order_stats
@@ -1301,7 +1325,8 @@ def fused_vf_l2_jasmin_from_params(x, vf_params, *, num_heads: int,
     if use_pallas:
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
-                          num_heads, emit_jas=True, requested=block_b)
+                          num_heads, emit_jas=True, requested=block_b,
+                          budget_override=vmem_budget)
         return fused_vf_l2_jasmin(*args, num_heads, scaler, bb,
                                   n_real or x.shape[1], jas_k)
     dx, attn = _xla_reference(*args, num_heads=num_heads, scaler=scaler,

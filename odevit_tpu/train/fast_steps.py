@@ -101,6 +101,17 @@ def _fused_jit_kwargs(model=None):
         model.num_heads, emit_attn=True, emit_jas=True)}
 
 
+def _fwd_budget(model, n: int):
+    """VMEM budget the train-step jit's scoped limit affords the FORWARD
+    kernels (same bwd_vmem_plan inputs as _fused_jit_kwargs, so the
+    budget and the compiled limit always agree)."""
+    from odevit_tpu.kernels.vector_field import bwd_vmem_plan
+    return bwd_vmem_plan(n, model.embed_dim,
+                         int(model.embed_dim * model.mlp_ratio),
+                         model.num_heads, emit_attn=True,
+                         emit_jas=True)[1]
+
+
 def _auto_remat(model, batch: int, n: int, remat,
                 stats_path: bool = False) -> bool:
     """Fused-path remat policy. Remat inside the scan body is HARMFUL
@@ -174,17 +185,20 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
             dx, st = fused_vf_l2_jasmin_from_params(
                 y, params["vf"], num_heads=model.num_heads,
                 scaler=scaler, jas_k=jasmin_k, block_b=block_b,
-                use_pallas=use_pallas, n_real=n)
+                use_pallas=use_pallas, n_real=n,
+                vmem_budget=vmem_budget)
             return dx, jasmin_from_stats(st, jasmin_k)
         if stats_ok:
             dx, st = fused_vf_jasmin_from_params(
                 y, params["vf"], num_heads=model.num_heads,
                 scaler=scaler, jas_k=jasmin_k, block_b=block_b,
-                use_pallas=use_pallas, n_real=n)
+                use_pallas=use_pallas, n_real=n,
+                vmem_budget=vmem_budget)
             return dx, jasmin_from_stats(st, jasmin_k)
         dx, attn = fused_vf_attn_from_params(
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-            block_b=block_b, use_pallas=use_pallas, n_real=n)
+            block_b=block_b, use_pallas=use_pallas, n_real=n,
+            vmem_budget=vmem_budget)
         return dx, jasmin_map_loss(attn, k=jasmin_k)
 
     from odevit_tpu.core.integrators import num_stages
@@ -207,7 +221,7 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
             dx = fused_vf_from_params(
                 y, params["vf"], num_heads=model.num_heads,
                 scaler=scaler, block_b=block_b, use_pallas=use_pallas,
-                n_real=n)
+                n_real=n, vmem_budget=vmem_budget)
         return dx, jnp.zeros(())
 
     # --- dropout variants: explicit per-stage seeds -------------------
@@ -244,15 +258,18 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                 dx, st = fused_vf_jasmin_from_params(
                     y, params["vf"], num_heads=model.num_heads,
                     scaler=scaler, jas_k=jasmin_k, block_b=block_b,
-                    n_real=n, seed=eval_seed, drops=drops)
+                    n_real=n, seed=eval_seed, drops=drops,
+                    vmem_budget=vmem_budget)
                 return dx, jasmin_from_stats(st, jasmin_k)
             dx, attn = fused_vf_attn_dropout_from_params(
                 y, params["vf"], eval_seed, num_heads=model.num_heads,
-                scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+                scaler=scaler, drops=drops, block_b=block_b, n_real=n,
+                vmem_budget=vmem_budget)
             return dx, jasmin_map_loss(attn, k=jasmin_k)
         dx = fused_vf_dropout_from_params(
             y, params["vf"], eval_seed, num_heads=model.num_heads,
-            scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+            scaler=scaler, drops=drops, block_b=block_b, n_real=n,
+            vmem_budget=vmem_budget)
         return dx, jnp.zeros(())
 
     def step_drop(y, dt, seed_step, with_jasmin):
@@ -276,6 +293,11 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
 
     use_remat = _auto_remat(model, pixels.shape[0], n, remat,
                             stats_path=stats_ok)
+    # forward kernels may tile against the train jit's raised
+    # scoped-VMEM plan — but only when remat is off (a remat'd forward
+    # recompute shares the transposed loop's scoped frame with the
+    # backward kernel, so it must keep the conservative default budget)
+    vmem_budget = None if use_remat else _fwd_budget(model, n)
 
     def body_of(fn):
         def body(y, t_dt):
@@ -412,10 +434,12 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
         if has_drop:
             return fused_vf_dropout_from_params(
                 y, params["vf"], seed, num_heads=model.num_heads,
-                scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+                scaler=scaler, drops=drops, block_b=block_b, n_real=n,
+                vmem_budget=vmem_budget)
         return fused_vf_from_params(
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-            block_b=block_b, use_pallas=use_pallas, n_real=n)
+            block_b=block_b, use_pallas=use_pallas, n_real=n,
+            vmem_budget=vmem_budget)
 
     def eval_attn(y, seed):
         if has_drop and not pltpu_drop:
@@ -425,10 +449,12 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
         if has_drop:
             return fused_vf_attn_dropout_from_params(
                 y, params["vf"], seed, num_heads=model.num_heads,
-                scaler=scaler, drops=drops, block_b=block_b, n_real=n)
+                scaler=scaler, drops=drops, block_b=block_b, n_real=n,
+                vmem_budget=vmem_budget)
         return fused_vf_attn_from_params(
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-            block_b=block_b, use_pallas=use_pallas, n_real=n)
+            block_b=block_b, use_pallas=use_pallas, n_real=n,
+            vmem_budget=vmem_budget)
 
     # jasmin tail evals via in-kernel order statistics (maps stay in
     # VMEM); the XLA-rbg dropout path keeps the map route (its twin
@@ -444,11 +470,13 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
             jas_k=jasmin_k, block_b=block_b, use_pallas=use_pallas,
             n_real=n, seed=seed if has_drop else None,
-            drops=drops if has_drop else (0.0, 0.0, 0.0))
+            drops=drops if has_drop else (0.0, 0.0, 0.0),
+            vmem_budget=vmem_budget)
         return dx, jasmin_from_stats(st, jasmin_k)
 
     use_remat = _auto_remat(model, pixels.shape[0], n, remat,
                             stats_path=stats_ok)
+    vmem_budget = None if use_remat else _fwd_budget(model, n)
 
     def body(with_jasmin):
         def _body(y, seed):

@@ -35,11 +35,13 @@ run() {
   fi
 }
 
-# 1. bench refresh (quick; measures the round-2 serving fusions)
-if [ ! -s "$LOGS/bench_mid.json" ]; then
-  echo "=== bench ==="
-  python bench.py > "$LOGS/bench_mid.json" 2> "$LOGS/bench_mid.err" \
-    && echo "[ok] bench" || { echo "[FAIL] bench"; tail -5 "$LOGS/bench_mid.err"; }
+# 1. TS-Base distillation-step decomposition (early: its output drives
+#    the round's backward-kernel perf work while the long runs proceed)
+if [ ! -s "$LOGS/distill_profile.log" ] \
+   || grep -q Traceback "$LOGS/distill_profile.log"; then
+  echo "=== distill_profile ==="
+  python benchmarks/distill_profile.py > "$LOGS/distill_profile.log" 2>&1 \
+    && echo "[ok] distill_profile" || echo "[FAIL] distill_profile"
 fi
 
 # 2. teacher (31 epochs ViT-B on the synthetic split)
@@ -49,28 +51,33 @@ else
   run evidence_teacher main_classification.py -c evidence_teacher -cp "$CP"
 fi
 
-# 3. TS-Base distillation-step decomposition (early: its output drives
-#    the round's backward-kernel perf work while the long runs proceed)
-if [ ! -s "$LOGS/distill_profile.log" ]; then
-  echo "=== distill_profile ==="
-  python benchmarks/distill_profile.py > "$LOGS/distill_profile.log" 2>&1 \
-    && echo "[ok] distill_profile" || echo "[FAIL] distill_profile"
-fi
-
-# 4. the headline: TS-Base trajectory distillation vs the trained teacher
+# 3. the headline: TS-Base trajectory distillation vs the trained teacher.
+#    recover_training=true makes the arm resumable: it restores the best
+#    checkpoint and continues at the implied epoch after an interruption
+#    (no-op on a fresh start — the checkpoint doesn't exist yet).
 run evidence_distill_real main_classification_ode_distillation.py \
   -c evidence_distill_real -cp "$CP" \
-  -o setup.dict.cache_teacher=true -o checkpoint_dir=checkpoints
+  -o setup.dict.cache_teacher=true -o checkpoint_dir=checkpoints \
+  -o finetunne.recover_training=true
 
-# 5. matched-epoch free-training control arm
+# 4. matched-epoch free-training control arm (resumable, same mechanism)
 run evidence_free_base main_classification_ode.py \
-  -c evidence_free_base -cp "$CP" -o checkpoint_dir=checkpoints
+  -c evidence_free_base -cp "$CP" -o checkpoint_dir=checkpoints \
+  -o infer_from_checkpoint=true
 
-# 6. augmentation A/B on the 512-image split
+# 5. augmentation A/B on the 512-image split
 run evidence_augment_off main_classification_ode.py \
   -c evidence_augment -cp "$CP" -o checkpoint_dir=checkpoints
 run evidence_augment_on main_classification_ode.py \
   -c evidence_augment -cp "$CP" -o data.dataset.augment=true \
   -o setup.wandb.name=evidence_augment_on -o checkpoint_dir=checkpoints
+
+# 6. bench refresh last, once the chip is otherwise quiet (measures the
+#    serving fusions + the full train variant matrix with MFU)
+if [ ! -s "$LOGS/bench_final.json" ]; then
+  echo "=== bench ==="
+  python bench.py > "$LOGS/bench_final.json" 2> "$LOGS/bench_final.err" \
+    && echo "[ok] bench" || { echo "[FAIL] bench"; tail -5 "$LOGS/bench_final.err"; }
+fi
 
 echo "EVIDENCE SUITE COMPLETE"
