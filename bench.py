@@ -238,6 +238,40 @@ def main():
     except Exception as e:                                # noqa: BLE001
         train = {"train_error": str(e)[:160]}
 
+    # ViT-Base-shape serving (the reference's FLOPs-notebook model,
+    # evaluate_performance_memory.ipynb: ODE-ViT 224px euler; TS student
+    # ratio-1 width) through the serving VMEM plan — the raised scoped
+    # limit unlocks bb=8 tiles vs bb=1 at the stock 16MB limit.
+    serve = {}
+    try:
+        from odevit_tpu.models.fast_forward import serving_vmem_plan
+        sm = ViTODE(img_size=224, patch_size=16, embed_dim=768,
+                    num_heads=12, mlp_ratio=1.0, num_classes=100,
+                    emulate_depth=12.0, time_interval=1.0,
+                    num_eval_steps=25, solver="euler",
+                    register_tokens=10, pos_embed_register_tokens=False,
+                    remat=False, dtype=jnp.bfloat16)
+        pre224 = make_preprocess(image_size=224, dtype=jnp.bfloat16)
+        simg = jax.device_put(rng.integers(
+            0, 256, (64, 224, 224, 3), dtype=np.uint8))
+        sparams = init_on_cpu(sm, jax.random.PRNGKey(0),
+                              pre224(simg[:2]))["params"]
+        opts, budget = serving_vmem_plan(sm)
+        sfwd = jax.jit(lambda p, im: fast_forward(
+            sm, p, pre224(im), vmem_budget=budget)["logits"],
+            compiler_options=opts or None)
+        _retry(lambda: jax.block_until_ready(sfwd(sparams, simg)))
+        t0 = time.perf_counter()
+        souts = [sfwd(sparams, simg) for _ in range(10)]
+        jax.block_until_ready(souts)
+        sdt = (time.perf_counter() - t0) / 10
+        serve = {"serve224_images_per_sec": round(64 / sdt, 1),
+                 "serve224_step_ms": round(sdt * 1e3, 2),
+                 "serve224_plan_kib": opts.get(
+                     "xla_tpu_scoped_vmem_limit_kib")}
+    except Exception as e:                                # noqa: BLE001
+        serve = {"serve224_error": str(e)[:160]}
+
     ips, batch, path, step_s = best
     per_step_ms = step_s / (model.num_eval_steps - 1) * 1e3
     print(json.dumps({
@@ -255,6 +289,7 @@ def main():
             "nfe": 48,
             "device": str(jax.devices()[0]),
             **train,
+            **serve,
         },
     }))
 

@@ -62,8 +62,13 @@ def run(configs):
         paths = {"xla": jax.jit(lambda p, im: model.apply(
             {"params": p}, pre(im))["logits"])}
         if not model.l2_attention:
-            paths["pallas"] = jax.jit(lambda p, im: fast_forward(
-                model, p, pre(im), block_b=8)["logits"])
+            from odevit_tpu.models.fast_forward import serving_vmem_plan
+            opts, budget = serving_vmem_plan(model)
+            paths["pallas"] = jax.jit(
+                lambda p, im: fast_forward(
+                    model, p, pre(im), block_b=8,
+                    vmem_budget=budget)["logits"],
+                compiler_options=opts or None)
 
         for path, fwd in paths.items():
             ips, dt = measure(model, params, images, fwd)

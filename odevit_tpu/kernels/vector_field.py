@@ -635,7 +635,8 @@ def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
 
 def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
                                  scaler: float, dt: float,
-                                 block_b: int = 16, n_real: int = 0):
+                                 block_b: int = 16, n_real: int = 0,
+                                 vmem_budget=None):
     """One fused Euler step: y_{t+1} = y + dt * f(y), single kernel.
 
     Inference-only (no custom_vjp; training integrates dx and lets the
@@ -643,7 +644,8 @@ def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
     """
     bb = auto_block_b(y.shape[0], y.shape[1], y.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
-                      num_heads, requested=block_b)
+                      num_heads, requested=block_b, extra_states=1,
+                      budget_override=vmem_budget)
     return _pallas_forward(
         y, vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
         vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
@@ -712,7 +714,8 @@ def _vf_euler_chain_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref,
 
 def fused_euler_chain_from_params(y, vf_params, *, num_heads: int,
                                   scaler: float, dt: float, chain: int,
-                                  block_b: int = 16, n_real: int = 0):
+                                  block_b: int = 16, n_real: int = 0,
+                                  vmem_budget=None):
     """``chain`` Euler steps per kernel launch (serving fast path)."""
     b, n, d = y.shape
     dh = vf_params["mlp"]["fc1_kernel"].shape[-1]
@@ -720,7 +723,8 @@ def fused_euler_chain_from_params(y, vf_params, *, num_heads: int,
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
         y = jnp.pad(y, ((0, 0), (0, n_pad - n), (0, 0)))
-    bb = auto_block_b(b, n, d, dh, num_heads, requested=block_b)
+    bb = auto_block_b(b, n, d, dh, num_heads, requested=block_b,
+                      extra_states=1, budget_override=vmem_budget)
     rows = bb * n_pad
     mat = lambda i: (0, 0)
     wqkv, wout, w1, w2 = (
@@ -761,7 +765,8 @@ def fused_euler_chain_from_params(y, vf_params, *, num_heads: int,
 
 def fused_rk4_step_from_params(y, vf_params, *, num_heads: int,
                                scaler: float, dt: float,
-                               block_b: int = 16, n_real: int = 0):
+                               block_b: int = 16, n_real: int = 0,
+                               vmem_budget=None):
     """One Kutta-3/8 rk4 step with every stage advance fused into the
     kernel — the k_i stage slopes never materialize in HBM.
 
@@ -779,7 +784,8 @@ def fused_rk4_step_from_params(y, vf_params, *, num_heads: int,
     """
     bb = auto_block_b(y.shape[0], y.shape[1], y.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
-                      num_heads, requested=block_b)
+                      num_heads, requested=block_b, extra_states=2,
+                      budget_override=vmem_budget)
 
     def stage(y_i, base, c):
         return _pallas_forward(
@@ -1091,6 +1097,27 @@ BWD_VMEM_BUDGET = 24 * 1024 * 1024   # headroom under the raised limit;
 # step up to a 64MB scoped limit so the native backward can run at bb=1
 # instead of falling back to the XLA-twin vjp. v5e has 128MB VMEM/core;
 # 64MB scoped leaves half for XLA's own buffers.
+# Width-tiered cap on override-driven batch tiles. VMEM is not the only
+# constraint: the Mosaic AOT compiler's memory/time blows up on wide
+# multi-image tiles, and a full train step carries many kernels — tile
+# classes that fit VMEM comfortably can still stall or OOM the compile
+# helper. Measured on v5e (full train-step programs):
+#   d=192  (CIFAR):    bb=16 compiles in minutes            -> cap 16
+#   d=768  (ViT-Base): jas fwd bb=2 compiles (the committed
+#          distillation evidence run); fwd/bwd bb=4 dies
+#          (SIGKILL x2) and ratio-4 fwd bb=4 never finished
+#          compiling in 30 min                               -> cap 2
+#   dh=3072 (ratio-4): proven only at bb=1                   -> cap 1
+def _tile_class_cap(d, dh):
+    # keyed on the token width d (the CIFAR class d=192, dh=768 is
+    # proven at bb=16, so dh alone must not demote it), with the very
+    # wide ratio-4 hidden (dh>=2048) pinned to its only proven tile
+    if dh >= 2048:
+        return 1
+    if d >= 512:
+        return 2
+    return 16
+
 BWD_SCOPED_VMEM_KIB_BIG = 64 * 1024
 # 62MB budget vs the 64MB limit: the estimate's weight term counts the
 # bf16 working copies plus the f32 accumulators (6 bytes/param, matching
@@ -1149,9 +1176,43 @@ def bwd_compiler_options(n=None, d=None, dh=None, num_heads=None, *,
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
+def fwd_vmem_plan(n, d, dh, num_heads, *, extra_states=0,
+                  target_bb=8):
+    """(scoped_vmem_kib | None, budget_bytes) for INFERENCE jits.
+
+    Serving twin of ``bwd_vmem_plan``: picks the smallest scoped-VMEM
+    tier at which the forward kernel's batch tile stops improving (up
+    to ``target_bb`` images per tile). Returns ``(None, default)`` when
+    the stock 16MB scoped limit already admits the best tile — most
+    CIFAR-class shapes — so serving jits only pay a raised limit where
+    it buys tile size (ViT-Base 224px: bb=1 -> 4). ``extra_states``
+    counts additional [n, d] state copies the fused solver route keeps
+    live per image (euler/chain: 1, stage-advance rk4: 3)."""
+    def bb_at(budget):
+        return auto_block_b(target_bb, n, d, dh, num_heads,
+                            requested=target_bb, extra_states=extra_states,
+                            budget_override=budget)
+    tiers = ((None, VMEM_BUDGET),
+             (BWD_SCOPED_VMEM_KIB, BWD_VMEM_BUDGET),
+             (BWD_SCOPED_VMEM_KIB_BIG, BWD_VMEM_BUDGET_BIG))
+    best = max(bb_at(budget) for _, budget in tiers)
+    for kib, budget in tiers:
+        if bb_at(budget) == best:
+            return kib, budget
+    return tiers[-1]
+
+
+def fwd_compiler_options(n, d, dh, num_heads, *, extra_states=0):
+    """Compiler options (possibly empty) a serving jit should pass to
+    unlock the ``fwd_vmem_plan`` tile at this shape."""
+    kib, _ = fwd_vmem_plan(n, d, dh, num_heads,
+                           extra_states=extra_states)
+    return {} if kib is None else {"xla_tpu_scoped_vmem_limit_kib": kib}
+
+
 def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
                  emit_jas=False, requested=16, bwd=False,
-                 budget_override=None):
+                 budget_override=None, extra_states=0):
     """Largest batch tile (halving from ``requested``, dividing ``b``)
     whose estimated VMEM footprint fits. The estimate mirrors the
     kernel's live set: activations/qkv/hidden at 2B + f32 attention
@@ -1163,6 +1224,7 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     weights = (3 * d * d + d * d + 2 * d * dh) * 2
     per_img = 16 * n_pad * d + 6 * n_pad * dh + 12 * n_pad * n_pad
+    per_img += extra_states * 2 * n_pad * d   # fused-solver state copies
     if emit_attn:
         per_img += num_heads * n_pad * n_pad * 2
     if emit_jas:
@@ -1180,9 +1242,16 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
     # 4-8x smaller tile than its train jit allows
     if budget_override is not None:
         budget = budget_override
+        # raised budgets must not select a tile class the Mosaic
+        # compiler hasn't been shown to handle — see _tile_class_cap
+        requested = min(requested, _tile_class_cap(d, dh))
     elif bwd:
         budget = bwd_vmem_plan(n, d, dh, num_heads, emit_attn=emit_attn,
                                emit_jas=emit_jas)[1]
+        # same compile-cost class cap as the override branch: the
+        # estimate admits bb=4 backward tiles at d=768 that the AOT
+        # compiler cannot build (only bb<=2 classes are proven)
+        requested = min(requested, _tile_class_cap(d, dh))
     elif emit_jas:
         budget = BWD_VMEM_BUDGET
     else:
@@ -1337,7 +1406,7 @@ def fused_vf_l2_jasmin_from_params(x, vf_params, *, num_heads: int,
 
 def fused_vf_l2_from_params(x, vf_params, *, num_heads: int, scaler: float,
                             block_b: int = 16, use_pallas: bool = True,
-                            n_real: int = 0):
+                            n_real: int = 0, vmem_budget=None):
     """Apply the L2-attention fused kernel from an L2 ParallelVectorField
     params subtree (separate q/k/v kernels + biases are fused here)."""
     a = vf_params["attn"]
@@ -1353,7 +1422,8 @@ def fused_vf_l2_from_params(x, vf_params, *, num_heads: int, scaler: float,
     if use_pallas:
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
-                          num_heads, requested=block_b)
+                          num_heads, requested=block_b,
+                          budget_override=vmem_budget)
         return fused_vf_l2(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, l2_attention=True)

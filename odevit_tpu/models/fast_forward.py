@@ -43,14 +43,41 @@ def _patch_embed_module(model):
         dtype=model.dtype)
 
 
+def serving_vmem_plan(model):
+    """(compiler_options_dict, vmem_budget | None) a serving jit over
+    ``fast_forward`` should use for this model's shape.
+
+    Big shapes (ViT-Base 224px: the reference's FLOPs-notebook model)
+    are tile-starved under the stock 16MB scoped limit (bb=1); raising
+    the limit per ``fwd_vmem_plan`` unlocks bb=4. CIFAR-class shapes
+    return ``({}, None)`` — no special options, identical tiles. The
+    ``extra_states`` term matches the solver route fast_forward picks
+    (fused euler/chain keep one extra state copy live; the rk4
+    stage-advance kernel two)."""
+    if hasattr(model, "learn_ivp"):           # ViTMacaron: own planner
+        return {}, None
+    from odevit_tpu.kernels.vector_field import fwd_vmem_plan
+    pe = _patch_embed_module(model)
+    n = pe.seq_len
+    extra = {"euler": 1, "rk4": 2}.get(model.solver, 0)
+    kib, budget = fwd_vmem_plan(n, model.embed_dim,
+                                int(model.embed_dim * model.mlp_ratio),
+                                model.num_heads, extra_states=extra)
+    if kib is None:
+        return {}, None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}, budget
+
+
 def fast_forward(model, params, images, *, block_b: int = 16,
-                 use_pallas: bool = True, t_grid=None):
+                 use_pallas: bool = True, t_grid=None, vmem_budget=None):
     """logits = head(odeint(fused_vf, patch_embed(images)))[CLS].
 
     Args:
       model: a ViTODE or ViTMacaron instance (config carrier).
       params: its params pytree.
       images: [B, H, W, C] preprocessed floats.
+      vmem_budget: tile-chooser budget override when the enclosing jit
+        raises the scoped-VMEM limit (see ``serving_vmem_plan``).
     Returns {"logits": [B, num_classes]}.
     """
     if hasattr(model, "learn_ivp"):           # ViTMacaron
@@ -88,7 +115,8 @@ def fast_forward(model, params, images, *, block_b: int = 16,
         def f(t, y):
             return vf_apply(
                 y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-                block_b=block_b, use_pallas=use_pallas, n_real=n)
+                block_b=block_b, use_pallas=use_pallas, n_real=n,
+                vmem_budget=vmem_budget)
 
         states, _ = odeint_dopri5(f, tokens,
                                   jnp.asarray([ts[0], ts[-1]]),
@@ -110,7 +138,7 @@ def fast_forward(model, params, images, *, block_b: int = 16,
                 return fused_euler_chain_from_params(
                     y, params["vf"], num_heads=model.num_heads,
                     scaler=scaler, dt=dt, chain=chain, block_b=block_b,
-                    n_real=n), None
+                    n_real=n, vmem_budget=vmem_budget), None
 
             y_final, _ = jax.lax.scan(step, tokens, None,
                                       length=n_steps // chain)
@@ -118,7 +146,8 @@ def fast_forward(model, params, images, *, block_b: int = 16,
             def step(y, _):
                 return fused_euler_step_from_params(
                     y, params["vf"], num_heads=model.num_heads,
-                    scaler=scaler, dt=dt, block_b=block_b, n_real=n), None
+                    scaler=scaler, dt=dt, block_b=block_b, n_real=n,
+                    vmem_budget=vmem_budget), None
 
             y_final, _ = jax.lax.scan(step, tokens, None, length=n_steps)
     elif (model.solver == "rk4" and use_pallas and uniform
@@ -130,14 +159,16 @@ def fast_forward(model, params, images, *, block_b: int = 16,
         def step(y, _):
             return fused_rk4_step_from_params(
                 y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-                dt=dt, block_b=block_b, n_real=n), None
+                dt=dt, block_b=block_b, n_real=n,
+                vmem_budget=vmem_budget), None
 
         y_final, _ = jax.lax.scan(step, tokens, None, length=len(ts) - 1)
     else:
         def f(t, y):
             return vf_apply(
                 y, params["vf"], num_heads=model.num_heads, scaler=scaler,
-                block_b=block_b, use_pallas=use_pallas, n_real=n)
+                block_b=block_b, use_pallas=use_pallas, n_real=n,
+                vmem_budget=vmem_budget)
 
         y_final, _ = odeint(f, tokens, ts, method=model.solver,
                             return_states=False)

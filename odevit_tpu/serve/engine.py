@@ -48,7 +48,8 @@ class ServingEngine:
     def __init__(self, model, params, *, batch_buckets: Sequence[int] =
                  (1, 8, 32, 128), preprocess=None, max_delay_ms: float = 2.0,
                  use_pallas: Optional[bool] = None, warmup: bool = True):
-        from odevit_tpu.models.fast_forward import fast_forward
+        from odevit_tpu.models.fast_forward import (fast_forward,
+                                                    serving_vmem_plan)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.model = model
@@ -56,12 +57,18 @@ class ServingEngine:
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         self.max_delay_s = max_delay_ms / 1e3
 
+        # big shapes (ViT-Base 224px) are tile-starved under the stock
+        # 16MB scoped-VMEM limit; compile the buckets with the shape's
+        # forward plan so the fused kernels tile as large as VMEM allows
+        opts, budget = serving_vmem_plan(model) if use_pallas else ({},
+                                                                    None)
+
         def run(params, images):
             x = preprocess(images) if preprocess is not None else images
-            return fast_forward(model, params, x,
-                                use_pallas=use_pallas)["logits"]
+            return fast_forward(model, params, x, use_pallas=use_pallas,
+                                vmem_budget=budget)["logits"]
 
-        self._run = jax.jit(run)
+        self._run = jax.jit(run, compiler_options=opts or None)
         self._queue: "queue.Queue" = queue.Queue()
         self._stats = {"requests": 0, "images": 0, "batches": 0,
                        "padded_images": 0, "latency_ms_sum": 0.0}

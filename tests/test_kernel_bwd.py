@@ -115,6 +115,48 @@ def test_bwd_dispatch_ladder():
                         has_drop=False, requested=16) is None
 
 
+def test_bwd_tile_requested_independent_and_fwd_budget():
+    """Round-3 regression guards for the train-jit VMEM budget work.
+
+    (a) The TS-Base combined backward must land at bb=1 regardless of
+    the forward's (now larger) block_b flowing in as ``requested`` —
+    the on-chip repro showed bb=2's real frame at 65.8MiB > the 64MiB
+    scoped limit, admitted only because the weight term undercounted
+    the f32 accumulators (4 instead of 6 bytes/param).
+    (b) Tiles never leave their shape's PROVEN Mosaic compile-cost
+    class (_tile_class_cap): d=192 up to bb=16, d=768 up to bb=2,
+    dh>=2048 pinned at bb=1 — bigger VMEM budgets admit tiles the AOT
+    compiler was measured to stall or OOM on (full train-step programs
+    at d=768 bb=4 died twice; ratio-4 fwd bb=4 never finished a 30-min
+    compile), so the budget must not select them.
+    (c) CIFAR tiles are unchanged by the recalibration.
+    """
+    from odevit_tpu.kernels.vector_field import (auto_block_b,
+                                                 bwd_vmem_plan)
+
+    n, d, dh, h = 197, 768, 3072, 12
+    for req in (1, 2, 4, 8, 16):
+        for kw in ({}, {"emit_jas": True}, {"emit_attn": True}):
+            assert auto_block_b(64, n, d, dh, h, requested=req,
+                                bwd=True, **kw) == 1, (req, kw)
+    budget = bwd_vmem_plan(n, d, dh, h, emit_attn=True, emit_jas=True)[1]
+    assert auto_block_b(64, n, d, dh, h, requested=16,
+                        budget_override=budget) == 1   # dh>=2048 class
+    assert auto_block_b(64, 207, 768, 768, 12, requested=16,
+                        budget_override=budget) == 2   # ratio-1 student
+    assert auto_block_b(64, 207, 768, 768, 12, requested=16,
+                        bwd=True) == 2                 # bwd same class
+    assert auto_block_b(64, n, d, dh, h, requested=16) == 1  # serving
+    # CIFAR: bwd bb=8 (measured-fastest), fwd bb=16, either budget
+    cifar = (65, 192, 768, 3)
+    assert auto_block_b(1024, *cifar, requested=16, bwd=True,
+                        emit_jas=True) == 8
+    cbud = bwd_vmem_plan(*cifar, emit_attn=True, emit_jas=True)[1]
+    assert auto_block_b(1024, *cifar, requested=16) == 16
+    assert auto_block_b(1024, *cifar, requested=16,
+                        budget_override=cbud) == 16
+
+
 def test_split_bwd_matches_xla_vjp():
     """The split path (one MLP-branch kernel with a chunked hidden + one
     attention-branch kernel) must produce the same nine cotangents as

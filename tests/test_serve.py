@@ -78,3 +78,42 @@ def test_engine_rejects_bad_shape():
         except AssertionError:
             raised = True
         assert raised
+
+
+def test_serving_vmem_plan_tiers():
+    """CIFAR-class shapes keep the stock scoped limit (no compile
+    options, identical tiles); the ratio-1 TS student at 224px (the
+    reference's FLOPs-notebook serving shape) steps up a tier so its
+    fused serving kernels tile at bb=2 instead of 1. The ratio-4
+    ViT-Base stays at the stock plan: its larger tiles sit in the
+    compile-cost class the area cap rejects, so a raised limit buys
+    nothing and the plan says so."""
+    import jax.numpy as jnp
+    from odevit_tpu.models.vit_ode import ViTODE
+    from odevit_tpu.models.fast_forward import serving_vmem_plan
+    from odevit_tpu.kernels.vector_field import auto_block_b
+
+    cifar = ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
+                   mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
+                   time_interval=1.0, num_eval_steps=49, solver="euler",
+                   register_tokens=4, dtype=jnp.bfloat16)
+    assert serving_vmem_plan(cifar) == ({}, None)
+
+    base4 = ViTODE(img_size=224, patch_size=16, embed_dim=768,
+                   num_heads=12, mlp_ratio=4.0, num_classes=100,
+                   emulate_depth=12.0, time_interval=1.0,
+                   num_eval_steps=25, solver="euler", register_tokens=0,
+                   dtype=jnp.bfloat16)
+    assert serving_vmem_plan(base4) == ({}, None)
+
+    ts1 = ViTODE(img_size=224, patch_size=16, embed_dim=768,
+                 num_heads=12, mlp_ratio=1.0, num_classes=100,
+                 emulate_depth=12.0, time_interval=1.0,
+                 num_eval_steps=25, solver="euler", register_tokens=10,
+                 dtype=jnp.bfloat16)
+    opts, budget = serving_vmem_plan(ts1)
+    assert opts == {"xla_tpu_scoped_vmem_limit_kib": 32 * 1024}
+    assert auto_block_b(8, 207, 768, 768, 12, requested=16,
+                        extra_states=1, budget_override=budget) == 2
+    assert auto_block_b(8, 207, 768, 768, 12, requested=16,
+                        extra_states=1) == 1
