@@ -13,9 +13,31 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _subproc_json(code, timeout=2400):
+    """Run a python snippet in a FRESH interpreter and parse its last
+    JSON stdout line. Under the tunneled TPU runtime, a client process
+    can enter a state where every FRESH remote compile 500s while
+    brand-new processes compile the same HLO fine (cache hits keep
+    working either way) — so every bench section that may need a fresh
+    compile runs isolated. The persistent compilation cache makes the
+    per-process cost one interpreter startup, not a recompile."""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=timeout, cwd=_REPO)
+    for line in reversed(r.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError((r.stdout + "\n" + r.stderr)[-400:])
 
 
 def _retry(fn, attempts=3, sleep_s=20.0):
@@ -115,13 +137,15 @@ def main():
             np.random.default_rng(1).integers(0, 100, 256))
 
         def grad_pair(m_tr, px, p):
+            lbl = labels[:px.shape[0]]
+
             def loss_fused(q):
-                loss, _ = fast_free_forward(m_tr, q, px, labels,
+                loss, _ = fast_free_forward(m_tr, q, px, lbl,
                                             jasmin_k=10)
                 return loss
 
             def loss_flax(q):
-                out = m_tr.apply({"params": q}, px, labels,
+                out = m_tr.apply({"params": q}, px, lbl,
                                  output_attentions=True, jasmin_k=10)
                 return out["loss"] + out["jasmin_loss"]
 
@@ -149,8 +173,14 @@ def main():
         worst = {k: round(e, 5) for e, k in per[:5]}
 
         # f32-mode grad parity: the same comparison with f32 activations
-        # on both paths (the kernels accumulate in f32 regardless) —
-        # separates dtype-policy noise from kernel-math error. Tight gate.
+        # on both paths — separates dtype noise from kernel-math error.
+        # On TPU this is only meaningful under matmul precision
+        # "highest": the default decomposes f32 matmuls into bf16 MXU
+        # passes whose rounding differs between the two paths' dot
+        # orderings (measured 2.1e-2 at default vs 2.2e-6 at highest,
+        # CPU-interpret exact at 1.8e-7 — so the bf16-mode bwd_rel_l2
+        # above is quantified as pure MXU quantization, not kernel
+        # math). Tight gate.
         def make_model_f32(solver, steps):
             return ViTODE(img_size=32, patch_size=4, embed_dim=192,
                           num_heads=3, mlp_ratio=4.0, num_classes=100,
@@ -161,18 +191,24 @@ def main():
                           remat=False, dtype=jnp.float32)
 
         pre32 = make_preprocess(image_size=None, dtype=jnp.float32)
-        gf32, gx32 = grad_pair(make_model_f32("rk4", 13), pre32(small),
-                               params)
+        # b=64: the f32 pair is a NUMERICAL gate, and at b=256 the f32
+        # trajectories + attention maps exceed the 16G HBM (measured)
+        jax.config.update("jax_default_matmul_precision", "highest")
+        try:
+            gf32, gx32 = grad_pair(make_model_f32("rk4", 13),
+                                   pre32(small[:64]), params)
+        finally:
+            jax.config.update("jax_default_matmul_precision", None)
         f32f, _ = ravel_pytree(gf32)
         f32x, _ = ravel_pytree(gx32)
         err_bwd_f32 = rel_l2(f32f, f32x)
 
         parity = {"fwd_rel_l2": round(err_fwd, 5),
                   "bwd_rel_l2": round(err_bwd, 5),
-                  "bwd_rel_l2_f32": round(err_bwd_f32, 6),
+                  "bwd_rel_l2_f32_highest": float(f"{err_bwd_f32:.3g}"),
                   "bwd_worst_tensors": worst}
         parity_ok = (err_fwd < 2e-2 and err_bwd < 3e-2
-                     and err_bwd_f32 < 1e-3)
+                     and err_bwd_f32 < 1e-4)
     except Exception as e:                                # noqa: BLE001
         parity = {"error": str(e)[:200]}
 
@@ -195,29 +231,58 @@ def main():
         parity_ok = False
 
     best = None
-    iters = 30
-    for batch in (1024, 2048):
-        images = big[:batch]
-        for name, fwd in paths.items():
-            try:
-                _retry(lambda: jax.block_until_ready(
-                    fwd(params, images)))                   # compile/warmup
-            except Exception as e:                          # noqa: BLE001
-                # a cold Pallas compile cache or runtime quirk must never
-                # zero out the benchmark — fall through to other paths
-                print(f"# bench path {name} b={batch} failed: "
-                      f"{str(e)[:120]}", flush=True)
-                continue
-            t0 = time.perf_counter()
-            # keep and block on EVERY output: under the tunneled runtime,
-            # blocking only the last result has been observed to return
-            # before earlier executions complete (measured 47M img/s).
-            outs = [fwd(params, images) for _ in range(iters)]
-            jax.block_until_ready(outs)
-            dt = time.perf_counter() - t0
-            ips = batch * iters / dt
-            if best is None or ips > best[0]:
-                best = (ips, batch, name, dt / iters)
+    combos = [(name, batch) for batch in (1024, 2048)
+              for name in paths]
+    for name, batch in combos:
+        solver, steps = (("rk4", 13) if "rk4" in name else ("euler", 49))
+        use_pallas = name.startswith("pallas")
+        code = f"""
+from odevit_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+from odevit_tpu.models.vit_ode import ViTODE
+from odevit_tpu.models.fast_forward import fast_forward
+from odevit_tpu.data.pipeline import make_preprocess
+from odevit_tpu.utils.init_utils import init_on_cpu
+model = ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
+               mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
+               time_interval=1.0, num_eval_steps={steps},
+               solver={solver!r}, register_tokens=4,
+               pos_embed_register_tokens=False, remat=False,
+               dtype=jnp.bfloat16)
+preprocess = make_preprocess(image_size=None, dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+images = jax.device_put(rng.integers(
+    0, 256, ({batch}, 32, 32, 3), dtype=np.uint8))
+params = init_on_cpu(model, jax.random.PRNGKey(0),
+                     images[:2].astype(jnp.uint8))["params"]
+def forward(params, images_u8):
+    return fast_forward(model, params, preprocess(images_u8),
+                        block_b=16, use_pallas={use_pallas})["logits"]
+fwd = jax.jit(forward)
+jax.block_until_ready(fwd(params, images))
+iters = 30
+t0 = time.perf_counter()
+# keep and block on EVERY output: under the tunneled runtime, blocking
+# only the last result has been observed to return before earlier
+# executions complete (measured 47M img/s)
+outs = [fwd(params, images) for _ in range(iters)]
+jax.block_until_ready(outs)
+dt = time.perf_counter() - t0
+print(json.dumps({{"ips": {batch} * iters / dt,
+                   "step_s": dt / iters}}))
+"""
+        try:
+            r = _subproc_json(code)
+        except Exception as e:                              # noqa: BLE001
+            # a cold Pallas compile cache or runtime quirk must never
+            # zero out the benchmark — fall through to other paths
+            print(f"# bench path {name} b={batch} failed: "
+                  f"{str(e)[:120]}", flush=True)
+            continue
+        if best is None or r["ips"] > best[0]:
+            best = (r["ips"], batch, name, r["step_s"])
 
     # fused TRAINING throughput (full fwd+bwd+AdamW, CE+JaSMin, B=1024)
     # — the round-2 headline axis; details-only so the primary metric
@@ -228,7 +293,7 @@ def main():
     train = {}
     try:
         from benchmarks.train_speed import variant_matrix
-        matrix = variant_matrix(budget_s=900.0)
+        matrix = variant_matrix(budget_s=1500.0, isolate=True)
         free = matrix.get("free_b1024", {})
         train = {"train_images_per_sec": free.get("images_per_sec"),
                  "train_step_ms": free.get("step_ms"),
@@ -244,31 +309,43 @@ def main():
     # limit unlocks bb=8 tiles vs bb=1 at the stock 16MB limit.
     serve = {}
     try:
-        from odevit_tpu.models.fast_forward import serving_vmem_plan
-        sm = ViTODE(img_size=224, patch_size=16, embed_dim=768,
-                    num_heads=12, mlp_ratio=1.0, num_classes=100,
-                    emulate_depth=12.0, time_interval=1.0,
-                    num_eval_steps=25, solver="euler",
-                    register_tokens=10, pos_embed_register_tokens=False,
-                    remat=False, dtype=jnp.bfloat16)
-        pre224 = make_preprocess(image_size=224, dtype=jnp.bfloat16)
-        simg = jax.device_put(rng.integers(
-            0, 256, (64, 224, 224, 3), dtype=np.uint8))
-        sparams = init_on_cpu(sm, jax.random.PRNGKey(0),
-                              pre224(simg[:2]))["params"]
-        opts, budget = serving_vmem_plan(sm)
-        sfwd = jax.jit(lambda p, im: fast_forward(
-            sm, p, pre224(im), vmem_budget=budget)["logits"],
-            compiler_options=opts or None)
-        _retry(lambda: jax.block_until_ready(sfwd(sparams, simg)))
-        t0 = time.perf_counter()
-        souts = [sfwd(sparams, simg) for _ in range(10)]
-        jax.block_until_ready(souts)
-        sdt = (time.perf_counter() - t0) / 10
-        serve = {"serve224_images_per_sec": round(64 / sdt, 1),
-                 "serve224_step_ms": round(sdt * 1e3, 2),
-                 "serve224_plan_kib": opts.get(
-                     "xla_tpu_scoped_vmem_limit_kib")}
+        r = _subproc_json("""
+from odevit_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+from odevit_tpu.models.vit_ode import ViTODE
+from odevit_tpu.models.fast_forward import fast_forward, serving_vmem_plan
+from odevit_tpu.data.pipeline import make_preprocess
+from odevit_tpu.utils.init_utils import init_on_cpu
+sm = ViTODE(img_size=224, patch_size=16, embed_dim=768, num_heads=12,
+            mlp_ratio=1.0, num_classes=100, emulate_depth=12.0,
+            time_interval=1.0, num_eval_steps=25, solver="euler",
+            register_tokens=10, pos_embed_register_tokens=False,
+            remat=False, dtype=jnp.bfloat16)
+pre224 = make_preprocess(image_size=224, dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+simg = jax.device_put(rng.integers(0, 256, (64, 224, 224, 3),
+                                   dtype=np.uint8))
+sparams = init_on_cpu(sm, jax.random.PRNGKey(0),
+                      pre224(simg[:2]))["params"]
+opts, budget = serving_vmem_plan(sm)
+sfwd = jax.jit(lambda p, im: fast_forward(
+    sm, p, pre224(im), vmem_budget=budget)["logits"],
+    compiler_options=opts or None)
+jax.block_until_ready(sfwd(sparams, simg))
+best = 1e9
+for _ in range(10):
+    t0 = time.perf_counter()
+    o = sfwd(sparams, simg)
+    jax.block_until_ready(o)
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"ips": 64 / best, "ms": best * 1e3,
+                  "kib": opts.get("xla_tpu_scoped_vmem_limit_kib")}))
+""")
+        serve = {"serve224_images_per_sec": round(r["ips"], 1),
+                 "serve224_step_ms": round(r["ms"], 2),
+                 "serve224_plan_kib": r["kib"]}
     except Exception as e:                                # noqa: BLE001
         serve = {"serve224_error": str(e)[:160]}
 

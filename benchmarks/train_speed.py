@@ -267,41 +267,42 @@ def bench_macaron(batch=1024, iters=6, fused=True):
                           best)}
 
 
-def variant_matrix(budget_s: float = 1500.0) -> dict:
+def variant_matrix(budget_s: float = 1500.0, isolate: bool = False) -> dict:
     """The driver-visible training variant matrix (VERDICT r2 item 2):
     every fused training family + the TS-Base flax baseline, each with
     achieved TFLOP/s and MFU. Entries degrade to an error/skip record
-    rather than failing the bench."""
-    specs = [
-        ("free_b1024", lambda: bench_free(batch=1024, iters=6, fused=True)),
-        ("drop03_b1024", lambda: bench_free(batch=1024, iters=6,
-                                            fused=True, drop=0.3)),
-        ("l2_b1024", lambda: bench_l2(batch=1024, iters=6)),
-        ("macaron_b1024", lambda: bench_macaron(batch=1024, iters=6)),
-        ("tsbase_b64", lambda: bench_distill(batch=64, iters=5)),
-        ("tsbase_b128", lambda: bench_distill(batch=128, iters=5)),
-        ("tsbase_b256", lambda: bench_distill(batch=256, iters=4)),
-        ("tsbase_b64_cached", lambda: bench_distill(batch=64, iters=5,
-                                                    cached=True)),
-        ("tsbase_b256_cached", lambda: bench_distill(batch=256, iters=4,
-                                                     cached=True)),
-        ("tsref_b64", lambda: bench_distill(batch=64, iters=5,
-                                            mlp_ratio=1.0)),
-        ("tsref_b256_cached", lambda: bench_distill(batch=256, iters=4,
-                                                    cached=True,
-                                                    mlp_ratio=1.0)),
-        ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
-                                                  fused=False)),
-    ]
+    rather than failing the bench. ``isolate=True`` runs each entry in
+    a fresh interpreter (``--variant`` mode below): under the tunneled
+    runtime a long-lived client process can reach a state where every
+    fresh remote compile 500s while new processes compile the same HLO
+    fine — the persistent compile cache keeps isolation cheap."""
+    specs = _variant_specs()
     out = {}
     t0 = time.time()
     keep = ("images_per_sec", "step_ms", "tflops_per_sec", "mfu")
+
+    def run_one(name, fn):
+        if not isolate:
+            return fn()
+        import json as _json
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, "-m", "benchmarks.train_speed",
+             "--variant", name],
+            capture_output=True, text=True, timeout=2400, cwd=repo)
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.strip().startswith("{"):
+                return _json.loads(line)
+        raise RuntimeError((r.stdout + "\n" + r.stderr)[-400:])
+
     for name, fn in specs:
         if time.time() - t0 > budget_s:
             out[name] = {"skipped": "bench time budget"}
             continue
         try:
-            r = fn()
+            r = run_one(name, fn)
             out[name] = {k: r[k] for k in keep if k in r}
         except Exception as e:                             # noqa: BLE001
             # retry once: the tunneled remote-compile helper 500s
@@ -309,13 +310,40 @@ def variant_matrix(budget_s: float = 1500.0) -> dict:
             if "remote_compile" in str(e) or "INTERNAL" in str(e):
                 time.sleep(20.0)
                 try:
-                    r = fn()
+                    r = run_one(name, fn)
                     out[name] = {k: r[k] for k in keep if k in r}
                     continue
                 except Exception as e2:                    # noqa: BLE001
                     e = e2
             out[name] = {"error": str(e)[:160]}
     return out
+
+
+def _variant_specs():
+    """(name, thunk) list shared by variant_matrix and --variant.
+    Ordered so a bench time-budget truncation drops the least
+    informative entries first (one representative per family leads)."""
+    return [
+        ("free_b1024", lambda: bench_free(batch=1024, iters=6, fused=True)),
+        ("tsbase_b64", lambda: bench_distill(batch=64, iters=5)),
+        ("tsref_b64", lambda: bench_distill(batch=64, iters=5,
+                                            mlp_ratio=1.0)),
+        ("tsbase_b64_cached", lambda: bench_distill(batch=64, iters=5,
+                                                    cached=True)),
+        ("drop03_b1024", lambda: bench_free(batch=1024, iters=6,
+                                            fused=True, drop=0.3)),
+        ("l2_b1024", lambda: bench_l2(batch=1024, iters=6)),
+        ("macaron_b1024", lambda: bench_macaron(batch=1024, iters=6)),
+        ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
+                                                  fused=False)),
+        ("tsref_b256_cached", lambda: bench_distill(batch=256, iters=4,
+                                                    cached=True,
+                                                    mlp_ratio=1.0)),
+        ("tsbase_b256_cached", lambda: bench_distill(batch=256, iters=4,
+                                                     cached=True)),
+        ("tsbase_b128", lambda: bench_distill(batch=128, iters=5)),
+        ("tsbase_b256", lambda: bench_distill(batch=256, iters=4)),
+    ]
 
 
 if __name__ == "__main__":
@@ -334,9 +362,17 @@ if __name__ == "__main__":
     ap.add_argument("--macaron", action="store_true")
     ap.add_argument("--matrix", action="store_true",
                     help="full train variant matrix (the BENCH record)")
+    ap.add_argument("--variant", type=str, default=None,
+                    help="run ONE matrix entry by name (isolation mode)")
     a = ap.parse_args()
+    if a.variant:
+        fn = dict(_variant_specs()).get(a.variant)
+        if fn is None:
+            sys.exit(f"unknown variant {a.variant!r}")
+        print(json.dumps(fn()))
+        sys.exit(0)
     if a.matrix:
-        print(json.dumps(variant_matrix(), indent=1))
+        print(json.dumps(variant_matrix(isolate=True), indent=1))
         sys.exit(0)
     if a.l2:
         print(json.dumps(bench_l2(batch=a.batch, iters=a.iters,

@@ -126,12 +126,18 @@ def fast_forward(model, params, images, *, block_b: int = 16,
     elif (model.solver == "euler" and use_pallas and uniform
           and not model.l2_attention):
         # fused Euler: the y + dt*f(y) update happens inside the kernel.
-        # When the step count divides evenly, CHAIN several steps per
-        # kernel launch — the autonomous field's weights already sit in
-        # VMEM, so the state's HBM round trip amortizes over the chain.
+        # Chaining several steps per kernel launch (the state's HBM
+        # round trip amortizes over the chain) MEASURES SLOWER than the
+        # per-step fused kernel on v5e — 22.2k vs 24.2k img/s at the
+        # CIFAR headline shape (B=2048) and 1,526 vs 1,559 at 224px/768d
+        # serving: the chain's serial inner loop costs more pipelining
+        # than the round trip it saves. Per-step is the default; set
+        # ODEVIT_EULER_CHAIN=<c> to opt in where a shape disagrees.
+        import os as _os
         dt = float(ts[1] - ts[0])
         n_steps = len(ts) - 1
-        chain = next((c for c in (8, 6, 4, 3, 2) if n_steps % c == 0), 1)
+        chain = int(_os.environ.get("ODEVIT_EULER_CHAIN", "1"))
+        chain = chain if chain > 1 and n_steps % chain == 0 else 1
 
         if chain > 1:
             def step(y, _):
