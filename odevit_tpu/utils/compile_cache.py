@@ -35,6 +35,12 @@ def enable_persistent_cache(directory: str | None = None) -> str:
             or _DEFAULT_DIR)
     if _enabled and jax.config.jax_compilation_cache_dir == path:
         return path
+    # TPU-only: CPU compiles are cheap, and CPU AOT entries written by a
+    # previous VM (different host CPU features after a restart) reload
+    # with SIGILL-risk warnings — the cache exists for the minutes-long
+    # tunneled TPU compiles, not for the CPU backend
+    if jax.default_backend() == "cpu":
+        return path
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything that took noticeable compile time; the default
