@@ -27,20 +27,24 @@ import numpy as np
 
 
 def _time(fn, *args, iters=5):
+    """Tunnel-safe timing: device_get every output (a host fetch is a
+    true completion barrier; per-array ready events can fire early under
+    the tunneled runtime — see kernel_decomp._time). Fetch cost is noise
+    at the >=10ms granularity profiled here."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = jax.device_get(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = jax.device_get(fn(*args))
         best = min(best, time.perf_counter() - t0)
+    del out
     return best * 1e3   # ms
 
 
 def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
-            embed_dim=768, heads=12, evals=36, registers=10):
+            embed_dim=768, heads=12, evals=36, registers=10,
+            mlp_ratio=1.0):
     import jax
     import jax.numpy as jnp
     from odevit_tpu.data.pipeline import make_preprocess
@@ -60,7 +64,7 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
     pre = make_preprocess(None, dtype=jnp.bfloat16)
     student = ViTODE(img_size=img_size, patch_size=patch,
                      embed_dim=embed_dim,
-                     num_heads=heads, mlp_ratio=1.0, num_classes=100,
+                     num_heads=heads, mlp_ratio=mlp_ratio, num_classes=100,
                      emulate_depth=12.0, time_interval=1.0,
                      num_eval_steps=evals, solver="euler",
                      register_tokens=registers,
@@ -75,17 +79,25 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
     tp = init_on_cpu(teacher, jax.random.PRNGKey(1), pre(pixels_u8[:2]))[
         "params"]
     jit_kw = _fused_jit_kwargs(student)
-    out = {"batch": batch, "drop": drop}
+    out = {"batch": batch, "drop": drop, "mlp_ratio": mlp_ratio}
 
     # 1. teacher forward (hidden states + last attention), as the step
     #    runs it
     @jax.jit
+    # every timed fn returns ONE f32 scalar: it forces the full
+    # computation while keeping the _time device_get barrier O(1)
+    # (teacher activations alone are ~240MB at B=64)
+    def leaf_sum(t):
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(t))
+
     def teacher_fwd(tp, px):
         return teacher.apply({"params": tp}, pre(px),
                              output_hidden_states=True,
                              output_attentions=True)
-    out["teacher_fwd_ms"] = _time(teacher_fwd, tp, pixels_u8, iters=iters)
-    tout = teacher_fwd(tp, pixels_u8)
+    t_fwd = jax.jit(lambda tp, px: leaf_sum(teacher_fwd(tp, px)))
+    out["teacher_fwd_ms"] = _time(t_fwd, tp, pixels_u8, iters=iters)
+    tout = jax.jit(teacher_fwd)(tp, pixels_u8)
     t_states = jax.lax.stop_gradient(jnp.stack(tout["hidden_states"][1:]))
     t_attn = jax.lax.stop_gradient(tout["attentions"][-1])
 
@@ -109,7 +121,7 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
                                        t_states, t_attn, iters=iters)
 
     # 3. loss vjp (fwd + bwd, no optimizer)
-    grad = jax.jit(jax.grad(loss_fn), **jit_kw)
+    grad = jax.jit(lambda *a: leaf_sum(jax.grad(loss_fn)(*a)), **jit_kw)
     out["student_grad_ms"] = _time(grad, sp, pixels_u8, labels, key,
                                    t_states, t_attn, iters=iters)
     out["student_bwd_only_ms"] = round(
@@ -140,12 +152,13 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
     def one_eval(vf, y):
         return fused_vf_from_params(y, vf, num_heads=heads, scaler=scaler,
                                     n_real=n_tok)
-    ev = jax.jit(one_eval, **jit_kw)
+    ev = jax.jit(lambda vf, y: leaf_sum(one_eval(vf, y)), **jit_kw)
     out["one_eval_fwd_ms"] = _time(ev, sp["vf"], y, iters=iters)
 
     def eval_loss(vf, y):
         return jnp.sum(one_eval(vf, y).astype(jnp.float32))
-    evg = jax.jit(jax.grad(eval_loss), **jit_kw)
+    evg = jax.jit(lambda vf, y: leaf_sum(jax.grad(eval_loss)(vf, y)),
+                  **jit_kw)
     out["one_eval_grad_ms"] = _time(evg, sp["vf"], y, iters=iters)
 
     # bookkeeping: expected per-step composition
@@ -171,5 +184,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--drop", type=float, default=0.0)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mlp-ratio", type=float, default=1.0)
     args = ap.parse_args()
-    print(json.dumps(profile(args.batch, args.drop, args.iters)))
+    print(json.dumps(profile(args.batch, args.drop, args.iters,
+                             mlp_ratio=args.mlp_ratio)))

@@ -26,15 +26,18 @@ import numpy as np
 
 
 def _time(fn, *args, iters=6):
+    """Tunnel-safe timing: device_get every output (a host fetch is a
+    true completion barrier; per-array ready events can fire early under
+    the tunneled runtime — see kernel_decomp._time). Timed fns return
+    one scalar so the fetch is O(1)."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = jax.device_get(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = jax.device_get(fn(*args))
         best = min(best, time.perf_counter() - t0)
+    del out
     return round(best * 1e3, 3)   # ms
 
 
@@ -78,7 +81,10 @@ def profile(batch=1024, drop=0.0, iters=6):
     fwd = jax.jit(loss_fn, **jit_kw)
     out["fwd_loss_ms"] = _time(fwd, params, pixels_u8, labels, key,
                                iters=iters)
-    grad = jax.jit(jax.grad(loss_fn), **jit_kw)
+    def leaf_sum(t):
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(t))
+    grad = jax.jit(lambda *a: leaf_sum(jax.grad(loss_fn)(*a)), **jit_kw)
     out["grad_ms"] = _time(grad, params, pixels_u8, labels, key,
                            iters=iters)
     out["bwd_only_ms"] = round(out["grad_ms"] - out["fwd_loss_ms"], 2)

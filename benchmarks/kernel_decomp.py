@@ -29,15 +29,20 @@ import numpy as np
 
 
 def _time(fn, *args, iters=5):
+    """Tunnel-safe timing: block_until_ready on a small per-call output
+    has been observed to return BEFORE the execution completes under the
+    tunneled runtime (scan chains of Pallas evals timed at 0.003 ms/eval
+    — physically impossible). Host-fetch every output instead: the
+    device_get of a scalar is a true completion barrier, and its
+    transfer cost is noise at these step times."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = jax.device_get(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = jax.device_get(fn(*args))
         best = min(best, time.perf_counter() - t0)
+    del out
     return best * 1e3
 
 
@@ -96,36 +101,50 @@ def decompose(batch=64, evals=16, iters=5, *, img_size=224, patch=16,
                          + 4 * n * n * d)
     out["fwd_gflops_per_eval"] = round(fwd_flops / 1e9, 2)
 
-    def scan_of(eval_fn, with_loss=False):
+    def scan_of(eval_fn, length, with_loss=False):
         def f(vf, y):
             def body(y, _):
                 r = eval_fn(vf, y)
                 dx, aux = (r, jnp.zeros(())) if not with_loss else r
                 return (y + dt * dx).astype(y.dtype), aux
-            yT, aux = jax.lax.scan(body, y, None, length=evals)
+            yT, aux = jax.lax.scan(body, y, None, length=length)
             return jnp.sum(yT.astype(jnp.float32)) + jnp.sum(aux)
-        return jax.jit(f, **jit_kw)
+        return f
 
     variants = {
-        "plain": scan_of(lambda vf, y: fused_vf_from_params(
-            y, vf, num_heads=heads, scaler=scaler, n_real=n)),
-        "jas": scan_of(lambda vf, y: (lambda dx, st: (
+        "plain": (lambda vf, y: fused_vf_from_params(
+            y, vf, num_heads=heads, scaler=scaler, n_real=n), False),
+        "jas": (lambda vf, y: (lambda dx, st: (
             dx, jasmin_from_stats(st, jas_k)))(
                 *fused_vf_jasmin_from_params(
                     y, vf, num_heads=heads, scaler=scaler, jas_k=jas_k,
-                    n_real=n)), with_loss=True),
-        "attn": scan_of(lambda vf, y: (lambda dx, a: (
+                    n_real=n)), True),
+        "attn": (lambda vf, y: (lambda dx, a: (
             dx, jnp.sum(a.astype(jnp.float32))))(
                 *fused_vf_attn_from_params(
                     y, vf, num_heads=heads, scaler=scaler, n_real=n)),
-            with_loss=True),
-        "xla_twin": scan_of(lambda vf, y: fused_vf_from_params(
+            True),
+        "xla_twin": (lambda vf, y: fused_vf_from_params(
             y, vf, num_heads=heads, scaler=scaler, n_real=n,
-            use_pallas=False)),
+            use_pallas=False), False),
     }
-    for name, f in variants.items():
+
+    # two-point slope: per-eval ms = (t(2K) - t(K)) / K, which cancels
+    # the tunnel's per-dispatch floor and any fixed program overhead
+    def slope_ms(make_fn, transform=None):
+        times = {}
+        for length in (evals, 2 * evals):
+            f = make_fn(length)
+            if transform is not None:
+                f = transform(f)
+            times[length] = _time(jax.jit(f, **jit_kw), vf, y0,
+                                  iters=iters)
+        return (times[2 * evals] - times[evals]) / evals
+
+    for name, (eval_fn, with_loss) in variants.items():
         try:
-            ms = _time(f, vf, y0, iters=iters) / evals
+            ms = slope_ms(lambda L, e=eval_fn, w=with_loss:
+                          scan_of(e, L, with_loss=w))
             out[f"fwd_{name}_ms_per_eval"] = round(ms, 3)
             out[f"fwd_{name}_tflops"] = round(fwd_flops / ms / 1e9, 1)
         except Exception as e:                             # noqa: BLE001
@@ -133,9 +152,10 @@ def decompose(batch=64, evals=16, iters=5, *, img_size=224, patch=16,
 
     # backward: grad of the scans (fwd + bwd per eval)
     for name in ("plain", "jas"):
+        eval_fn, with_loss = variants[name]
         try:
-            g = jax.jit(jax.grad(variants[name]), **jit_kw)
-            ms = _time(g, vf, y0, iters=iters) / evals
+            ms = slope_ms(lambda L, e=eval_fn, w=with_loss:
+                          scan_of(e, L, with_loss=w), transform=jax.grad)
             out[f"grad_{name}_ms_per_eval"] = round(ms, 3)
         except Exception as e:                             # noqa: BLE001
             out[f"grad_{name}_ms_per_eval"] = f"error: {str(e)[:120]}"
@@ -148,5 +168,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--evals", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mlp-ratio", type=float, default=1.0)
     args = ap.parse_args()
-    print(json.dumps(decompose(args.batch, args.evals, args.iters)))
+    print(json.dumps(decompose(args.batch, args.evals, args.iters,
+                               mlp_ratio=args.mlp_ratio)))

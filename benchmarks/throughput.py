@@ -23,12 +23,16 @@ import numpy as np
 
 
 def measure(model, params, images, forward, iters=20):
+    """Tunnel-safe: keep and block on EVERY output — under the tunneled
+    runtime, blocking only the last result has been observed to return
+    before earlier executions complete (bench.py measured 47M img/s that
+    way). A final device_get is the true completion barrier."""
     import jax
-    jax.block_until_ready(forward(params, images))
+    jax.device_get(forward(params, images))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, images)
-    jax.block_until_ready(out)
+    outs = [forward(params, images) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    jax.device_get(outs[-1])
     dt = (time.perf_counter() - t0) / iters
     return images.shape[0] / dt, dt
 

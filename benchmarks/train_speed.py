@@ -10,7 +10,12 @@ Measurement notes for the tunneled-TPU runtime (v5e, jax 0.9):
   * even so, training-step wall times vary up to 10x run-to-run under
     the tunnel (inference timings are stable) — treat these numbers as
     upper bounds; best observed steady state: ~107ms/step @ B=256
-    (2.4k img/s) without JaSMin, ~186ms (1.4k img/s) with.
+    (2.4k img/s) without JaSMin, ~186ms (1.4k img/s) with;
+  * timing barriers are jax.device_get of the loss scalar, not
+    block_until_ready: per-array ready events have been observed to
+    fire before execution completes under the tunnel (kernel_decomp
+    measured scan chains at 0.003 ms/eval that way); a host fetch is a
+    true completion barrier and its cost is noise at >=60ms steps.
 """
 
 from __future__ import annotations
@@ -75,14 +80,14 @@ def bench_free(batch=256, jasmin=True, iters=10, fused=False,
         step = make_free_train_step(m, tx, use_jasmin=jasmin, jasmin_k=10,
                                     preprocess_fn=pre, donate=False)
     state, mm = step(state, data, jax.random.PRNGKey(1))
-    jax.block_until_ready(mm["loss"])
+    jax.device_get(mm["loss"])
     best = float("inf")
     for _ in range(iters):
         # per-iter timing, report the best: the tunneled runtime's
         # dispatch stalls inflate means by up to 10x (see module note)
         t0 = time.perf_counter()
         state, mm = step(state, data, jax.random.PRNGKey(1))
-        jax.block_until_ready(mm["loss"])
+        jax.device_get(mm["loss"])
         best = min(best, time.perf_counter() - t0)
     from odevit_tpu.analysis.flops import train_step_flops
     return {"mode": "free_train", "batch": batch, "jasmin": jasmin,
@@ -152,12 +157,12 @@ def bench_distill(batch=64, iters=8, fused=True, drop=0.0, remat=True,
                 mse_full_path=True, use_distillation=True,
                 preprocess_fn=pre, donate=False, **kw)
     state, mm = step(state, tpack, data, jax.random.PRNGKey(2), True)
-    jax.block_until_ready(mm["loss"])
+    jax.device_get(mm["loss"])
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         state, mm = step(state, tpack, data, jax.random.PRNGKey(2), True)
-        jax.block_until_ready(mm["loss"])
+        jax.device_get(mm["loss"])
         best = min(best, time.perf_counter() - t0)
     from odevit_tpu.analysis.flops import distill_step_flops
     return {"mode": "distill_train", "batch": batch, "fused": fused,
@@ -205,12 +210,12 @@ def bench_l2(batch=1024, iters=6, fused=True, remat=True):
         step = make_free_train_step(m, tx, use_jasmin=True, jasmin_k=10,
                                     preprocess_fn=pre, donate=False)
     state, mm = step(state, data, jax.random.PRNGKey(1))
-    jax.block_until_ready(mm["loss"])
+    jax.device_get(mm["loss"])
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         state, mm = step(state, data, jax.random.PRNGKey(1))
-        jax.block_until_ready(mm["loss"])
+        jax.device_get(mm["loss"])
         best = min(best, time.perf_counter() - t0)
     from odevit_tpu.analysis.flops import train_step_flops
     return {"mode": "l2_train", "batch": batch, "fused": fused,
@@ -252,12 +257,12 @@ def bench_macaron(batch=1024, iters=6, fused=True):
         step = make_free_train_step(m, tx, use_jasmin=False,
                                     preprocess_fn=pre, donate=False)
     state, mm = step(state, data, jax.random.PRNGKey(1))
-    jax.block_until_ready(mm["loss"])
+    jax.device_get(mm["loss"])
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         state, mm = step(state, data, jax.random.PRNGKey(1))
-        jax.block_until_ready(mm["loss"])
+        jax.device_get(mm["loss"])
         best = min(best, time.perf_counter() - t0)
     from odevit_tpu.analysis.flops import train_step_flops
     return {"mode": "macaron_train", "batch": batch, "fused": fused,
