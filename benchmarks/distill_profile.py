@@ -83,7 +83,6 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
 
     # 1. teacher forward (hidden states + last attention), as the step
     #    runs it
-    @jax.jit
     # every timed fn returns ONE f32 scalar: it forces the full
     # computation while keeping the _time device_get barrier O(1)
     # (teacher activations alone are ~240MB at B=64)
@@ -111,7 +110,7 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
     def loss_fn(params, px, lab, rng, ts, ta):
         loss, aux = fast_distill_forward(
             student, params, pre(px), lab, ts, ta,
-            jasmin_k=10, temperature=3.0, lambda_param=0.5,
+            jasmin_k=2, temperature=3.0, lambda_param=0.5,
             mse_full_path=True, use_distillation=True,
             rng=rng if drop > 0 else None, remat=False)
         return loss
@@ -131,7 +130,7 @@ def profile(batch=64, drop=0.0, iters=5, *, img_size=224, patch=16,
     tx = make_optimizer(1e-4, trainable_mask=all_trainable(sp))
     state = create_train_state(sp, tx)
     step = make_fast_distill_train_step(
-        student, teacher, tx, lambda_param=0.5, jasmin_k=10,
+        student, teacher, tx, lambda_param=0.5, jasmin_k=2,
         mse_full_path=True, use_distillation=True, preprocess_fn=pre,
         donate=False, remat=False)
     data = {"pixel_values": pixels_u8, "labels": labels}

@@ -48,7 +48,7 @@ def _time(fn, *args, iters=5):
 
 def decompose(batch=64, evals=16, iters=5, *, img_size=224, patch=16,
               embed_dim=768, heads=12, mlp_ratio=1.0, registers=10,
-              jas_k=2):
+              jas_k=2, only=None, no_grad=False):
     import jax
     import jax.numpy as jnp
     from odevit_tpu.kernels.vector_field import (auto_block_b,
@@ -83,6 +83,7 @@ def decompose(batch=64, evals=16, iters=5, *, img_size=224, patch=16,
 
     from odevit_tpu.kernels.vector_field import bwd_compiler_options
     out = {"batch": batch, "evals": evals, "n": n, "d": d, "dh": dh,
+           "jas_k": jas_k,
            "bb_fwd_plain": auto_block_b(batch, n, d, dh, heads),
            "bb_fwd_jas": auto_block_b(batch, n, d, dh, heads,
                                       emit_jas=True),
@@ -141,6 +142,15 @@ def decompose(batch=64, evals=16, iters=5, *, img_size=224, patch=16,
                                   iters=iters)
         return (times[2 * evals] - times[evals]) / evals
 
+    if only:
+        wanted = set(only.split(","))
+        variants = {k: v for k, v in variants.items() if k in wanted}
+        grads = tuple(v for v in ("plain", "jas") if v in wanted)
+    else:
+        grads = ("plain", "jas")
+    if no_grad:
+        grads = ()
+
     for name, (eval_fn, with_loss) in variants.items():
         try:
             ms = slope_ms(lambda L, e=eval_fn, w=with_loss:
@@ -151,7 +161,7 @@ def decompose(batch=64, evals=16, iters=5, *, img_size=224, patch=16,
             out[f"fwd_{name}_ms_per_eval"] = f"error: {str(e)[:120]}"
 
     # backward: grad of the scans (fwd + bwd per eval)
-    for name in ("plain", "jas"):
+    for name in grads:
         eval_fn, with_loss = variants[name]
         try:
             ms = slope_ms(lambda L, e=eval_fn, w=with_loss:
@@ -169,6 +179,19 @@ if __name__ == "__main__":
     ap.add_argument("--evals", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--mlp-ratio", type=float, default=1.0)
+    ap.add_argument("--jas-k", type=int, default=2)
+    ap.add_argument("--img-size", type=int, default=224)
+    ap.add_argument("--patch", type=int, default=16)
+    ap.add_argument("--embed-dim", type=int, default=768)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--registers", type=int, default=10)
+    ap.add_argument("--no-grad", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma list of variants (plain,jas,attn,xla_twin)")
     args = ap.parse_args()
     print(json.dumps(decompose(args.batch, args.evals, args.iters,
-                               mlp_ratio=args.mlp_ratio)))
+                               mlp_ratio=args.mlp_ratio,
+                               jas_k=args.jas_k, img_size=args.img_size,
+                               patch=args.patch, embed_dim=args.embed_dim,
+                               heads=args.heads, registers=args.registers,
+                               only=args.only, no_grad=args.no_grad)))

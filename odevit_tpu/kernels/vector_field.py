@@ -308,6 +308,13 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             # All-f32 selection lanes: int32 index arithmetic lowers
             # ~4x slower on the VPU (measured 10.6 -> 2.6 ms/eval), and
             # bf16 comparisons are unsupported by the target.
+            # (A tie-batched variant — remove ALL copies of the max per
+            # pass, cover the spanned ranks in closed form — measured
+            # SLOWER on-chip despite fewer NxN ops/pass: +4% at
+            # d=768/k=2, +37% at d=192/k=10; the per-pass [TB,N] lane
+            # rowsum it needs outweighs the saved selection ops. The
+            # BACKWARD no longer reruns these passes either way — it
+            # scatters by value from the saved statistics residual.)
             kk = jas_kk
             cur = p.astype(jnp.float32)
             jas_ref[:, hh, 4, :] = jnp.sum(
@@ -886,16 +893,21 @@ def _fused_vf_jasmin_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
                          w2, num_heads, scaler, block_b, n_real, jas_k):
     out = fused_vf_jasmin(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
                           w2, num_heads, scaler, block_b, n_real, jas_k)
-    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2)
+    # out[1] (the order statistics, [B,H,5,N] f32 — tiny next to x)
+    # rides the residuals: the backward scatters the statistic
+    # cotangents by VALUE instead of rerunning the extraction passes
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                 out[1])
 
 
 def _fused_vf_jasmin_bwd(num_heads, scaler, block_b, n_real, jas_k,
                          residuals, g):
     from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, stats = residuals
     g_dx, g_jas = g
-    return pallas_vf_bwd(*residuals, g_dx, num_heads=num_heads,
+    return pallas_vf_bwd(*tensors, g_dx, num_heads=num_heads,
                          scaler=scaler, block_b=block_b, n_real=n_real,
-                         g_jas=g_jas, jas_k=jas_k)
+                         g_jas=g_jas, jas_k=jas_k, jas_stats=stats)
 
 
 fused_vf_jasmin.defvjp(_fused_vf_jasmin_fwd, _fused_vf_jasmin_bwd)
@@ -927,7 +939,8 @@ def _fused_vf_jasmin_dropout_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv,
         x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, seed,
         num_heads, scaler, block_b, n_real, jas_k, attn_drop, proj_drop,
         mlp_drop)
-    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, seed)
+    return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                 seed, out[1])
 
 
 def _fused_vf_jasmin_dropout_bwd(num_heads, scaler, block_b, n_real,
@@ -935,11 +948,12 @@ def _fused_vf_jasmin_dropout_bwd(num_heads, scaler, block_b, n_real,
                                  residuals, g):
     import numpy as np
     from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
-    *tensors, seed = residuals
+    *tensors, seed, stats = residuals
     g_dx, g_jas = g
     bars = pallas_vf_bwd(*tensors, g_dx, num_heads=num_heads,
                          scaler=scaler, block_b=block_b, n_real=n_real,
-                         g_jas=g_jas, jas_k=jas_k, seed=seed,
+                         g_jas=g_jas, jas_k=jas_k, jas_stats=stats,
+                         seed=seed,
                          attn_drop=attn_drop, proj_drop=proj_drop,
                          mlp_drop=mlp_drop)
     seed_bar = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
@@ -1356,17 +1370,18 @@ def _fused_vf_l2_jasmin_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
                              w1, w2, qkv_bias, out_bias, num_heads,
                              scaler, block_b, n_real, jas_k)
     return out, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
-                 qkv_bias, out_bias)
+                 qkv_bias, out_bias, out[1])
 
 
 def _fused_vf_l2_jasmin_bwd(num_heads, scaler, block_b, n_real, jas_k,
                             residuals, g):
     from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
-    *tensors, qkv_bias, out_bias = residuals
+    *tensors, qkv_bias, out_bias, stats = residuals
     g_dx, g_jas = g
     return pallas_vf_bwd(*tensors, g_dx, num_heads=num_heads,
                          scaler=scaler, block_b=block_b, n_real=n_real,
-                         g_jas=g_jas, jas_k=jas_k, qkv_bias=qkv_bias,
+                         g_jas=g_jas, jas_k=jas_k, jas_stats=stats,
+                         qkv_bias=qkv_bias,
                          out_bias=out_bias, l2_attention=True)
 
 

@@ -71,6 +71,7 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
     gjas_ref = refs.pop(0) if jas_kk else None
+    stats_ref = refs.pop(0) if jas_kk else None
     seed_ref = refs.pop(0) if has_seed else None
     qkvb_ref = refs.pop(0) if has_bias else None
     outb_ref = refs.pop(0) if has_bias else None
@@ -131,10 +132,12 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     pdims = (((2,), (1,)), ((0,), (0,)))      # [TB,N,N] x [TB,N,hd]
 
     g = g_ref[:].astype(f32) * scaler          # mo_bar == ao_bar (no drop)
-    jas_ids = (jax.lax.broadcasted_iota(
-        jnp.int32, (block_b, n_pad, n_pad), 2).astype(f32)
-        if jas_kk else None)                   # hoisted out of the head loop
-    jas_ids_shift = jas_ids - float(n_pad) if jas_kk else None
+    # upper-triangular (i <= j) ones for the MXU prefix-sum of the
+    # JaSMin scatter; hoisted out of the head loop. 0/1 in the compute
+    # dtype is exact, and the f32-accumulated matmul counts are exact.
+    jas_tri = ((jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1))
+               .astype(dtype) if jas_kk else None)
 
     # ---- MLP backward ----
     if mlp_drop > 0.0:
@@ -216,18 +219,22 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
         if jas_kk:
             # JaSMin statistic cotangents scatter into the PRE-dropout
-            # p_bar: rerun the forward's max-extraction passes (on the
-            # same bf16-rounded values, so the selected columns match
-            # bit-exactly) and place each statistic's cotangent at its
-            # argmax column; the clipped-rowsum cotangent spreads over
-            # the row through the clip indicator.
-            # all-f32 selection lanes, mirroring the forward's
-            # extraction bit-exactly (same bf16-rounded values, same
-            # compare dtype) so cotangents land on the same columns
+            # p_bar. VALUE-BASED scatter (no extraction passes): the
+            # forward's statistics tensor rides the custom-vjp residuals,
+            # so rank r's cotangent lands directly on the column the XLA
+            # twin's stable first-occurrence extraction picks — the
+            # (r - count(p > v_r))-th leftmost column with p == v_r.
+            # Equality is exact: v_r was extracted from the same
+            # bf16-rounded f32 values this recompute reproduces. The
+            # within-ties ordinal comes from an MXU prefix-sum
+            # (eq @ upper-triangular ones, f32 accumulation — exact
+            # integer counts), replacing the kk max/min-reduction passes
+            # of rounds 2-3. The clipped-rowsum cotangent spreads over
+            # the row through the clip indicator, as before.
             kk = jas_kk
             gj = gjas_ref[:, hh]                        # [TB, 5, N_q]
+            st = stats_ref[:, hh]                       # [TB, 5, N_q]
             pj = p.astype(dtype).astype(f32)
-            ids = jas_ids
             # match the XLA twin's jnp.clip subgradient exactly: 1 strictly
             # inside (1e-12, 1.0), 0.5 AT either boundary (JAX min/max
             # tie-splitting — bf16 rows round to exactly 1.0 on peaked
@@ -238,25 +245,25 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                   + (pj < 1.0).astype(f32)) * 0.5
             clipgrad = lo * hi
             pbar_jas = gj[:, 4, :][:, :, None] * clipgrad
-            cur = pj
-            for j in range(kk):
-                m = jnp.max(cur, axis=-1, keepdims=True)
-                is_m = (cur >= m).astype(f32)
-                masked = is_m * jas_ids_shift + float(n_pad)
-                fidx = jnp.min(masked, axis=-1, keepdims=True)
-                first = (ids == fidx).astype(f32)
-                c = None
-                if j == 0:
-                    c = gj[:, 0, :]
-                if j == 1:
-                    c = gj[:, 1, :] if c is None else c + gj[:, 1, :]
-                if j == kk - 2:
-                    c = gj[:, 2, :] if c is None else c + gj[:, 2, :]
-                if j == kk - 1:
-                    c = gj[:, 3, :] if c is None else c + gj[:, 3, :]
-                if c is not None:
-                    pbar_jas = pbar_jas + first * c[:, :, None]
-                cur = cur - first * 1e30
+            # stats rows 0..3 hold ranks (1, 2, kk-1, kk); coincident
+            # ranks (k=1 -> (1, 2, 1, 2)) sum their cotangents first
+            by_rank = {}
+            for row_i, r in enumerate((1, 2, kk - 1, kk)):
+                by_rank.setdefault(r, []).append(row_i)
+            for r, rows_g in sorted(by_rank.items()):
+                c = gj[:, rows_g[0], :]
+                for ri in rows_g[1:]:
+                    c = c + gj[:, ri, :]
+                v = st[:, rows_g[0], :][:, :, None]     # [TB, N_q, 1]
+                eq = (pj == v).astype(f32)
+                gt = jnp.sum((pj > v).astype(f32), axis=-1)
+                ord_ = jax.lax.dot_general(
+                    eq.astype(dtype), jas_tri,
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=f32)         # [TB, N_q, N]
+                target = (ord_ == (float(r) - gt)[:, :, None]
+                          ).astype(f32) * eq
+                pbar_jas = pbar_jas + target * c[:, :, None]
             p_bar = p_bar + pbar_jas
         v_bar = jax.lax.dot_general(
             p_used, cb_h,
@@ -733,7 +740,7 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                   block_b: int, n_real: int = 0, seed=None,
                   attn_drop: float = 0.0, proj_drop: float = 0.0,
                   mlp_drop: float = 0.0, g_jas=None, jas_k: int = 0,
-                  qkv_bias=None, out_bias=None,
+                  jas_stats=None, qkv_bias=None, out_bias=None,
                   l2_attention: bool = False):
     """Backward pass of the fused evaluation.
 
@@ -769,6 +776,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     n_real = n_real or n
     has_drop = attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0
     has_jas = g_jas is not None
+    assert not has_jas or jas_stats is not None, \
+        "jas backward needs the forward's order-statistics residual"
     has_bias = qkv_bias is not None
     assert not (l2_attention and has_drop), \
         "native L2 backward is deterministic-only (no L2 dropout kernel)"
@@ -814,6 +823,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             # query rows ride the LAST axis of the statistics tensor
             g_jas = jnp.pad(g_jas, ((0, 0), (0, 0), (0, 0),
                                     (0, n_pad - n)))
+            jas_stats = jnp.pad(jas_stats, ((0, 0), (0, 0), (0, 0),
+                                            (0, n_pad - n)))
     x2d = x.reshape(b * n_pad, d)
     g2d = g_dx.reshape(b * n_pad, d).astype(x.dtype)
     wqkv_c, wout_c, w1_c, w2_c = (w.astype(x.dtype)
@@ -859,10 +870,12 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         operands.append(g_attn.astype(x.dtype))
     if has_jas:
         from odevit_tpu.losses.jasmin import JAS_ROWS
-        in_specs.append(pl.BlockSpec(
+        jas_spec = pl.BlockSpec(
             (block_b, num_heads, JAS_ROWS, n_pad),
-            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
-        operands.append(g_jas.astype(jnp.float32))
+            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        in_specs += [jas_spec, jas_spec]
+        operands += [g_jas.astype(jnp.float32),
+                     jas_stats.astype(jnp.float32)]
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(seed, jnp.int32).reshape(1))

@@ -133,8 +133,12 @@ def _auto_remat(model, batch: int, n: int, remat,
                evals)
     d = model.embed_dim
     if stats_path:
-        # JaSMin rides as [B, H, 5, N] order statistics, not full maps
-        tail_bytes = tail * batch * model.num_heads * 5 * n_pad * 4
+        # JaSMin rides as [B, H, 5, N] order statistics, not full maps;
+        # x2: the stats are saved both as the jasmin_from_stats residual
+        # and as the fused kernel's own vjp residual (the backward
+        # scatters statistic cotangents by value instead of re-running
+        # the extraction passes)
+        tail_bytes = 2 * tail * batch * model.num_heads * 5 * n_pad * 4
     else:
         tail_bytes = tail * 2 * batch * model.num_heads * n_pad * n_pad * 2
     bytes_ = evals * batch * n_pad * d * 2 + tail_bytes

@@ -132,3 +132,33 @@ def test_padded_tokens_ignored():
     la = jasmin_map_loss(attn[:, :, :n_real, :n_real], k=10)
     ls = jasmin_from_stats(st[..., :n_real], 10)
     np.testing.assert_allclose(np.asarray(ls), np.asarray(la), rtol=2e-5)
+
+
+@pytest.mark.parametrize("k", [1, 3, 10])
+def test_grad_parity_tied_columns(k):
+    """Repeated tokens make attention columns tie EXACTLY (identical
+    keys give identical scores, so ties straddle the bookkept ranks).
+    The backward's value/ordinal scatter must land each rank's
+    cotangent on the same column as the map path's stable
+    first-occurrence extraction (torch stable-sort semantics)."""
+    args = list(_operands(seed=3))
+    x = np.array(args[0], np.float32)
+    x[:, 5:13] = x[:, 4:5]     # 9 identical tokens
+    x[:, 15:18] = x[:, 14:15]  # 4 more
+    args[0] = jnp.asarray(x)
+    args = tuple(args)
+
+    def loss_maps(*a):
+        dx, attn = fused_vf_attn(*a, H, 1.0, 2, N)
+        return jnp.sum(dx * 0.01) + jasmin_map_loss(attn, k=k)
+
+    def loss_stats(*a):
+        dx, st = fused_vf_jasmin(*a, H, 1.0, 2, N, k)
+        return jnp.sum(dx * 0.01) + jasmin_from_stats(st, k)
+
+    ga = jax.grad(loss_maps, argnums=tuple(range(9)))(*args)
+    gs = jax.grad(loss_stats, argnums=tuple(range(9)))(*args)
+    for a, s in zip(ga, gs):
+        denom = np.linalg.norm(np.asarray(a, np.float32)) + 1e-12
+        rel = np.linalg.norm(np.asarray(a - s, np.float32)) / denom
+        assert rel < 1e-5, rel
