@@ -315,41 +315,27 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             # rowsum it needs outweighs the saved selection ops. The
             # BACKWARD no longer reruns these passes either way — it
             # scatters by value from the saved statistics residual.)
-            import os as _os
-            _abl = _os.environ.get("ODEVIT_JAS_ABLATE", "")
             kk = jas_kk
             cur = p.astype(jnp.float32)
-            if _abl == "none":
-                for _t in range(5):
-                    jas_ref[:, hh, _t, :] = cur[:, :, 0]
-            else:
-                jas_ref[:, hh, 4, :] = jnp.sum(
-                    jnp.clip(cur, 1e-12, 1.0), axis=-1)
-                ids = jas_ids
-                if _abl == "rowsumonly":
-                    for _t in range(4):
-                        jas_ref[:, hh, _t, :] = cur[:, :, 0]
-                else:
-                    for j in range(kk):
-                        m = jnp.max(cur, axis=-1, keepdims=True)
-                        if j == 0:
-                            jas_ref[:, hh, 0, :] = m[:, :, 0]
-                        if j == 1:
-                            jas_ref[:, hh, 1, :] = m[:, :, 0]
-                        if j == kk - 2:
-                            jas_ref[:, hh, 2, :] = m[:, :, 0]
-                        if j == kk - 1:
-                            jas_ref[:, hh, 3, :] = m[:, :, 0]
-                        if j < kk - 1 and _abl != "maxonly":
-                            if _abl == "tiesup":
-                                is_m = (cur >= m).astype(jnp.float32)
-                                cur = cur - is_m * 1e30
-                            else:
-                                is_m = (cur >= m).astype(jnp.float32)
-                                masked = is_m * jas_ids_shift + float(n_pad)
-                                fidx = jnp.min(masked, axis=-1, keepdims=True)
-                                first = (ids == fidx).astype(jnp.float32)
-                                cur = cur - first * 1e30
+            jas_ref[:, hh, 4, :] = jnp.sum(
+                jnp.clip(cur, 1e-12, 1.0), axis=-1)
+            ids = jas_ids
+            for j in range(kk):
+                m = jnp.max(cur, axis=-1, keepdims=True)
+                if j == 0:
+                    jas_ref[:, hh, 0, :] = m[:, :, 0]
+                if j == 1:
+                    jas_ref[:, hh, 1, :] = m[:, :, 0]
+                if j == kk - 2:
+                    jas_ref[:, hh, 2, :] = m[:, :, 0]
+                if j == kk - 1:
+                    jas_ref[:, hh, 3, :] = m[:, :, 0]
+                if j < kk - 1:
+                    is_m = (cur >= m).astype(jnp.float32)
+                    masked = is_m * jas_ids_shift + float(n_pad)
+                    fidx = jnp.min(masked, axis=-1, keepdims=True)
+                    first = (ids == fidx).astype(jnp.float32)
+                    cur = cur - first * 1e30
         if attn_drop > 0.0:
             mask_p = _mask_p(attn_drop, seed, hh, img0, block_b, n_pad)
             p = (p.astype(jnp.float32) * mask_p).astype(dtype)
