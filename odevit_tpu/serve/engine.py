@@ -71,16 +71,19 @@ class ServingEngine:
         self._run = jax.jit(run, compiler_options=opts or None)
         self._queue: "queue.Queue" = queue.Queue()
         self._stats = {"requests": 0, "images": 0, "batches": 0,
-                       "padded_images": 0, "latency_ms_sum": 0.0}
+                       "padded_images": 0, "failed_requests": 0,
+                       "latency_ms_sum": 0.0}
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         img = model.img_size
         self._sample_shape = (img, img, model.in_chans)
+        # the dtype the buckets are compiled at; submit() coerces floats
+        # and rejects everything else so a request can never trigger a
+        # fresh compile in the hot path
+        self._in_dtype = np.uint8 if preprocess is not None else np.float32
         if warmup:
             for b in self.buckets:
-                x = jnp.zeros((b, *self._sample_shape),
-                              jnp.uint8 if preprocess is not None
-                              else jnp.float32)
+                x = jnp.zeros((b, *self._sample_shape), self._in_dtype)
                 jax.block_until_ready(self._run(self.params, x))
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
@@ -89,9 +92,19 @@ class ServingEngine:
     def submit(self, images) -> Future:
         """Enqueue [b, H, W, C] images; resolves to [b, num_classes]
         logits (numpy). Thread-safe."""
+        if self._stop.is_set():
+            raise RuntimeError("engine closed")
         images = np.asarray(images)
         assert images.shape[1:] == self._sample_shape, \
             f"expected (*, {self._sample_shape}), got {images.shape}"
+        if images.dtype != self._in_dtype:
+            if (np.issubdtype(images.dtype, np.floating)
+                    and self._in_dtype == np.float32):
+                images = images.astype(np.float32)
+            else:
+                raise TypeError(
+                    f"engine compiled for {np.dtype(self._in_dtype).name} "
+                    f"inputs, got {images.dtype.name}")
         fut: Future = Future()
         self._queue.put((images, fut, time.perf_counter()))
         return fut
@@ -144,7 +157,17 @@ class ServingEngine:
                     break
                 pending.append(nxt)
                 total += nxt[0].shape[0]
-            self._run_batch(pending, total)
+            # a failing device run must not kill the dispatcher: resolve
+            # the affected futures with the error and keep serving —
+            # otherwise every later submit() hangs forever
+            try:
+                self._run_batch(pending, total)
+            except Exception as e:                        # noqa: BLE001
+                with self._stats_lock:
+                    self._stats["failed_requests"] += len(pending)
+                for _, fut, _ in pending:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     def _run_batch(self, pending, total):
         images = np.concatenate([p[0] for p in pending], axis=0)

@@ -80,6 +80,63 @@ def test_engine_rejects_bad_shape():
         assert raised
 
 
+def test_engine_survives_failing_run():
+    """A device-run failure resolves the affected futures with the
+    exception and the dispatcher keeps serving; submit() after close()
+    raises instead of enqueueing into a dead queue."""
+    m, params, rng = setup()
+    with ServingEngine(m, params, batch_buckets=(2, 4), max_delay_ms=0.5,
+                       use_pallas=False) as eng:
+        good_run = eng._run
+        calls = {"n": 0}
+
+        def flaky(params, images):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device failure")
+            return good_run(params, images)
+
+        eng._run = flaky
+        x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+        f1 = eng.submit(x)
+        try:
+            f1.result(timeout=60)
+            raised = False
+        except RuntimeError as e:
+            raised = "injected device failure" in str(e)
+        assert raised
+        # the dispatcher survived: the next request succeeds
+        got = eng.submit(x).result(timeout=60)
+        assert got.shape == (2, 7)
+        assert eng.stats()["failed_requests"] == 1
+    try:
+        eng.submit(x)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+
+
+def test_engine_dtype_guard():
+    """Float inputs coerce to the compiled f32 buckets; non-float dtypes
+    are rejected rather than compiling a fresh program mid-request."""
+    m, params, rng = setup()
+    with ServingEngine(m, params, batch_buckets=(2,), max_delay_ms=0.5,
+                       use_pallas=False) as eng:
+        x64 = rng.standard_normal((2, 16, 16, 3))       # float64
+        got = eng.submit(x64).result(timeout=60)
+        want = np.asarray(fast_forward(
+            m, params, jnp.asarray(x64.astype(np.float32)),
+            use_pallas=False)["logits"])
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+        try:
+            eng.submit(np.zeros((1, 16, 16, 3), np.uint8))
+            raised = False
+        except TypeError:
+            raised = True
+        assert raised
+
+
 def test_serving_vmem_plan_tiers():
     """CIFAR-class shapes keep the stock scoped limit (no compile
     options, identical tiles); the ratio-1 TS student at 224px (the
