@@ -8,31 +8,104 @@ included (uint8 in, logits out). Model = the free-training CIFAR
 architecture (embed 192, heads 3, patch 4, 32x32; README.md:57 row) with
 100 classes. Target: >= 20_000 img/s/chip (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Reporting contract (VERDICT r3 item 1): the headline JSON line is
+printed AS SOON AS the first throughput measurement lands (details:
+{"partial": true}), then re-printed — enriched with parity gates,
+trajectory fidelity, the training variant matrix, and serving numbers —
+as sections complete under a global wall-clock budget
+(ODEVIT_BENCH_BUDGET_S, default 1100 s). Sections that don't fit the
+budget are skipped and named in details.skipped; the process always
+exits 0, and the LAST printed JSON line is always the most complete
+headline. A driver timeout therefore still finds a valid line.
+
+Every measurement section runs in an ISOLATED interpreter: under the
+tunneled TPU runtime a long-lived client can reach a state where every
+fresh remote compile 500s while new processes compile the same HLO fine.
+The host-fingerprinted persistent compile cache keeps isolation cheap.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
-import numpy as np
-
 _REPO = os.path.dirname(os.path.abspath(__file__))
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("ODEVIT_BENCH_BUDGET_S", "1450"))
+
+# mutable headline state; _emit() serializes it
+_H = {
+    "value": None, "batch": None, "path": None, "step_s": None,
+    "grid_steps": 12,
+    "parity": None, "dropout_parity": None, "fidelity": None,
+    "train": {}, "serve": {}, "skipped": [],
+}
 
 
-def _subproc_json(code, timeout=2400):
-    """Run a python snippet in a FRESH interpreter and parse its last
-    JSON stdout line. Under the tunneled TPU runtime, a client process
-    can enter a state where every FRESH remote compile 500s while
-    brand-new processes compile the same HLO fine (cache hits keep
-    working either way) — so every bench section that may need a fresh
-    compile runs isolated. The persistent compilation cache makes the
-    per-process cost one interpreter startup, not a recompile."""
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=timeout, cwd=_REPO)
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _emit(final: bool = False) -> None:
+    """Print the headline JSON line from current state. Called after the
+    first throughput lands and again after every enrichment; the last
+    line printed is the most complete one."""
+    if _H["value"] is None:
+        return
+    parity = _H["parity"] or {}
+    dropout = _H["dropout_parity"] or {}
+    fid = _H["fidelity"] or {}
+    # parity_ok only when EVERY gate actually ran and passed: bf16
+    # fwd/bwd + f32-highest kernel parity, dropout semantics, fidelity
+    gates_ran = (all(k in parity for k in
+                     ("fwd_rel_l2", "bwd_rel_l2", "bwd_rel_l2_f32_highest"))
+                 and bool(dropout) and "error" not in dropout
+                 and bool(fid) and "error" not in fid)
+    parity_ok = (gates_ran and parity.get("ok", False)
+                 and dropout.get("ok", False) and fid.get("ok", False))
+    details = {
+        "partial": not final,
+        "parity": parity,
+        "dropout_parity": dropout,
+        "trajectory_fidelity": fid,
+        "batch": _H["batch"],
+        "path": _H["path"],
+        "per_rk_step_latency_ms":
+            round(_H["step_s"] / _H["grid_steps"] * 1e3, 4)
+            if _H["step_s"] else None,
+        "nfe": 48,
+        "budget_s": _BUDGET_S,
+        "elapsed_s": round(time.time() - _T0, 1),
+        **_H["train"],
+        **_H["serve"],
+    }
+    if _H["skipped"]:
+        details["skipped"] = list(_H["skipped"])
+    print(json.dumps({
+        "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
+        "value": round(_H["value"], 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(_H["value"] / 20000.0, 4),
+        "parity_ok": bool(parity_ok),
+        "details": details,
+    }), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    """If the driver SIGTERMs us mid-run, still leave a valid final line."""
+    _H["skipped"].append("terminated")
+    _emit(final=True)
+    os._exit(0)
+
+
+def _subproc_json(code=None, argv=None, timeout=600.0):
+    """Run a python snippet (or module argv) in a FRESH interpreter and
+    parse its last JSON stdout line (see module note on isolation)."""
+    cmd = [sys.executable] + (argv if argv else ["-c", code])
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       timeout=timeout, cwd=_REPO)
     for line in reversed(r.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -40,203 +113,24 @@ def _subproc_json(code, timeout=2400):
     raise RuntimeError((r.stdout + "\n" + r.stderr)[-400:])
 
 
-def _retry(fn, attempts=3, sleep_s=20.0):
-    """Retry a compile/run thunk: the tunneled TPU runtime's remote
-    compile helper intermittently 500s (observed right after a VM boot);
-    the same program compiles fine seconds later. Never let a transient
-    helper crash zero out a bench path."""
-    last = None
-    for i in range(attempts):
-        try:
-            return fn()
-        except Exception as e:                            # noqa: BLE001
-            last = e
-            if "remote_compile" not in str(e) and "INTERNAL" not in str(e):
-                raise
-            if i + 1 < attempts:
-                time.sleep(sleep_s)
-    raise last
-
-
-def main():
-    import os
-    import jax
-    from odevit_tpu.utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
-
-    import jax.numpy as jnp
-
-    from odevit_tpu.models.vit_ode import ViTODE
-    from odevit_tpu.models.fast_forward import fast_forward
-    from odevit_tpu.data.pipeline import make_preprocess
-    from odevit_tpu.utils.init_utils import init_on_cpu
-    from odevit_tpu.core.integrators import nfe
-
-    def make_model(solver, steps):
-        return ViTODE(img_size=32, patch_size=4, embed_dim=192, num_heads=3,
-                      mlp_ratio=4.0, num_classes=100, emulate_depth=12.0,
-                      time_interval=1.0, num_eval_steps=steps, solver=solver,
-                      register_tokens=4, pos_embed_register_tokens=False,
-                      remat=False, dtype=jnp.bfloat16)
-
-    # NFE = 48 either way: rk4 over 13 grid points or euler over 49 (the
-    # reference's CIFAR configs use euler; both are benched, best wins)
-    models = {"rk4x13": make_model("rk4", 13),
-              "eulerx49": make_model("euler", 49)}
-    for m in models.values():
-        assert nfe(m.solver, m.num_eval_steps) == 48
-    model = models["rk4x13"]
-
-    preprocess = make_preprocess(image_size=None, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-
-    def make_fwd(model, use_pallas):
-        def forward(params, images_u8):
-            return fast_forward(model, params, preprocess(images_u8),
-                                block_b=16, use_pallas=use_pallas)["logits"]
-        return jax.jit(forward)
-
-    big = jax.device_put(rng.integers(
-        0, 256, (2048, 32, 32, 3), dtype=np.uint8))
-    params = init_on_cpu(model, jax.random.PRNGKey(0), big[:2]
-                         .astype(jnp.uint8))["params"]
-
-    # The best (batch, path) combo shifts with compiler/runtime versions;
-    # sweep a small grid and report the winner. Set ODEVIT_BENCH_PALLAS=0
-    # to restrict to the XLA path (e.g. cold Pallas compile caches).
-    paths = {"xla-rk4x13": make_fwd(models["rk4x13"], False)}
-    if os.environ.get("ODEVIT_BENCH_PALLAS", "1") != "0":
-        for mname, m in models.items():
-            paths[f"pallas-{mname}"] = make_fwd(m, True)
-
-    # --- compiled-kernel parity gate (VERDICT r1 item 3) ---------------
-    # The Mosaic-compiled kernels are the thing producing the headline
-    # number; assert on-chip agreement with the XLA path every bench run
-    # (interpret-mode tests can't catch TPU-lowering bugs). bf16 compute:
-    # gate on relative L2 over the logits and over the backward's
-    # parameter cotangents.
-    def rel_l2(a, b):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9))
-
-    parity_ok, parity = False, {}
+def _section(name: str, cap: float, reserve: float, fn) -> dict | None:
+    """Run one bench section under the global budget: allowed time =
+    min(cap, remaining - reserve). Skips (recording why) when the budget
+    can't cover it; converts failures into error records."""
+    allowed = min(cap, _remaining() - reserve)
+    if allowed < 45.0:
+        _H["skipped"].append(name)
+        return None
     try:
-        small = big[:256]
-        fwd_x = paths["xla-rk4x13"]
-        fwd_p = make_fwd(models["rk4x13"], True)
-        err_fwd = rel_l2(_retry(lambda: jax.device_get(fwd_p(params, small))),
-                         jax.device_get(fwd_x(params, small)))
+        return fn(allowed)
+    except subprocess.TimeoutExpired:
+        _H["skipped"].append(name)
+        return {"error": f"{name}: section timeout ({allowed:.0f}s)"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{name}: {str(e)[:200]}"}
 
-        # backward: CE-loss gradients through the fused kernel vjp vs the
-        # flax/XLA path, at the training configuration (euler grid)
-        from odevit_tpu.train.fast_steps import fast_free_forward
-        from jax.flatten_util import ravel_pytree
-        from odevit_tpu.train.fast_steps import _fused_jit_kwargs
-        labels = jnp.asarray(
-            np.random.default_rng(1).integers(0, 100, 256))
 
-        def grad_pair(m_tr, px, p):
-            lbl = labels[:px.shape[0]]
-
-            def loss_fused(q):
-                loss, _ = fast_free_forward(m_tr, q, px, lbl,
-                                            jasmin_k=10)
-                return loss
-
-            def loss_flax(q):
-                out = m_tr.apply({"params": q}, px, lbl,
-                                 output_attentions=True, jasmin_k=10)
-                return out["loss"] + out["jasmin_loss"]
-
-            gf = _retry(lambda: jax.device_get(
-                jax.jit(jax.grad(loss_fused), **_fused_jit_kwargs())(p)))
-            gx = jax.device_get(jax.jit(jax.grad(loss_flax))(p))
-            return gf, gx
-
-        g_fused, g_flax = grad_pair(make_model("rk4", 13),
-                                    preprocess(small), params)
-        flat_f, _ = ravel_pytree(g_fused)
-        flat_x, _ = ravel_pytree(g_flax)
-        err_bwd = rel_l2(flat_f, flat_x)
-
-        # per-tensor cotangent breakdown (VERDICT r2 "weak" 1): is the
-        # bf16 discrepancy diffuse accumulation noise, or concentrated
-        # in a single cotangent?
-        from jax.tree_util import tree_flatten_with_path, keystr
-        lf, _t = tree_flatten_with_path(g_fused)
-        lx, _ = tree_flatten_with_path(g_flax)
-        per = sorted(((rel_l2(a, b), keystr(ka))
-                      for (ka, a), (_, b) in zip(lf, lx)
-                      if np.linalg.norm(np.asarray(b, np.float32)) > 1e-6),
-                     reverse=True)
-        worst = {k: round(e, 5) for e, k in per[:5]}
-
-        # f32-mode grad parity: the same comparison with f32 activations
-        # on both paths — separates dtype noise from kernel-math error.
-        # On TPU this is only meaningful under matmul precision
-        # "highest": the default decomposes f32 matmuls into bf16 MXU
-        # passes whose rounding differs between the two paths' dot
-        # orderings (measured 2.1e-2 at default vs 2.2e-6 at highest,
-        # CPU-interpret exact at 1.8e-7 — so the bf16-mode bwd_rel_l2
-        # above is quantified as pure MXU quantization, not kernel
-        # math). Tight gate.
-        def make_model_f32(solver, steps):
-            return ViTODE(img_size=32, patch_size=4, embed_dim=192,
-                          num_heads=3, mlp_ratio=4.0, num_classes=100,
-                          emulate_depth=12.0, time_interval=1.0,
-                          num_eval_steps=steps, solver=solver,
-                          register_tokens=4,
-                          pos_embed_register_tokens=False,
-                          remat=False, dtype=jnp.float32)
-
-        pre32 = make_preprocess(image_size=None, dtype=jnp.float32)
-        # b=64: the f32 pair is a NUMERICAL gate, and at b=256 the f32
-        # trajectories + attention maps exceed the 16G HBM (measured)
-        jax.config.update("jax_default_matmul_precision", "highest")
-        try:
-            gf32, gx32 = grad_pair(make_model_f32("rk4", 13),
-                                   pre32(small[:64]), params)
-        finally:
-            jax.config.update("jax_default_matmul_precision", None)
-        f32f, _ = ravel_pytree(gf32)
-        f32x, _ = ravel_pytree(gx32)
-        err_bwd_f32 = rel_l2(f32f, f32x)
-
-        parity = {"fwd_rel_l2": round(err_fwd, 5),
-                  "bwd_rel_l2": round(err_bwd, 5),
-                  "bwd_rel_l2_f32_highest": float(f"{err_bwd_f32:.3g}"),
-                  "bwd_worst_tensors": worst}
-        parity_ok = (err_fwd < 2e-2 and err_bwd < 3e-2
-                     and err_bwd_f32 < 1e-4)
-    except Exception as e:                                # noqa: BLE001
-        parity = {"error": str(e)[:200]}
-
-    # --- in-kernel dropout semantics gate (VERDICT r2 item 5) ----------
-    # pltpu-prng mask contract: the backward regenerates the forward's
-    # masks bit-identically at a different batch tile; drop-rate stats in
-    # tolerance; deterministic across calls. The driver-visible on-TPU
-    # counterpart of the three CPU-skipped tests.
-    dropout_parity = {}
-    try:
-        from benchmarks.tpu_dropout_check import run_checks
-        r = _retry(run_checks)
-        dropout_parity = {
-            "ok": bool(r.get("ok", False)),
-            **{k: v for k, v in r.items()
-               if k not in ("ok",) and not isinstance(v, (list, dict))}}
-        parity_ok = parity_ok and dropout_parity["ok"]
-    except Exception as e:                                # noqa: BLE001
-        dropout_parity = {"ok": False, "error": str(e)[:200]}
-        parity_ok = False
-
-    best = None
-    combos = [(name, batch) for batch in (1024, 2048)
-              for name in paths]
-    for name, batch in combos:
-        solver, steps = (("rk4", 13) if "rk4" in name else ("euler", 49))
-        use_pallas = name.startswith("pallas")
-        code = f"""
+_FWD_CODE = """
 from odevit_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 import json, time
@@ -273,43 +167,117 @@ dt = time.perf_counter() - t0
 print(json.dumps({{"ips": {batch} * iters / dt,
                    "step_s": dt / iters}}))
 """
-        try:
-            r = _subproc_json(code)
-        except Exception as e:                              # noqa: BLE001
-            # a cold Pallas compile cache or runtime quirk must never
-            # zero out the benchmark — fall through to other paths
-            print(f"# bench path {name} b={batch} failed: "
-                  f"{str(e)[:120]}", flush=True)
-            continue
-        if best is None or r["ips"] > best[0]:
-            best = (r["ips"], batch, name, r["step_s"])
 
-    # fused TRAINING throughput (full fwd+bwd+AdamW, CE+JaSMin, B=1024)
-    # — the round-2 headline axis; details-only so the primary metric
-    # stays comparable across rounds. train_matrix carries the full
-    # variant ledger (free / drop / L2 / macaron / TS-Base, each with
-    # achieved TFLOP/s + MFU) so every round's record is machine-
-    # comparable (VERDICT r2 item 2).
-    train = {}
-    try:
+
+def _fwd_combo(name: str, batch: int, allowed: float) -> None:
+    solver, steps = (("rk4", 13) if "rk4" in name else ("euler", 49))
+    code = _FWD_CODE.format(steps=steps, solver=solver, batch=batch,
+                            use_pallas=name.startswith("pallas"))
+    r = _subproc_json(code, timeout=allowed)
+    if _H["value"] is None or r["ips"] > _H["value"]:
+        _H.update(value=r["ips"], batch=batch, path=name,
+                  step_s=r["step_s"], grid_steps=steps - 1)
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_term)
+
+    # --- Section A: fwd throughput (THE headline; print ASAP) ----------
+    # combos ordered by historical winner first (r2/r3: pallas 23.6-24.2k
+    # img/s); a cold-cache quirk in one path must not zero the benchmark,
+    # so each combo fails independently. The XLA path runs only as a
+    # fallback when every Pallas combo failed (it's never the winner and
+    # costs ~3 min of cold compile).
+    combos = [("pallas-rk4x13", 2048), ("pallas-eulerx49", 2048),
+              ("pallas-rk4x13", 1024)]
+    for i, (name, batch) in enumerate(combos):
+        # first combo gets a generous cold-compile window; later combos
+        # only run with >=700s left for the parity/fidelity gates
+        cap, reserve = (600.0, 60.0) if i == 0 else (200.0, 700.0)
+        err = _section(f"fwd:{name}-b{batch}", cap, reserve,
+                       lambda a, n=name, b=batch: _fwd_combo(n, b, a))
+        if isinstance(err, dict) and "error" in err:
+            print(f"# {err['error']}", file=sys.stderr, flush=True)
+        if i == 0:
+            _emit()  # partial headline on the record immediately
+    if _H["value"] is None:
+        _section("fwd:xla-rk4x13-b2048", 400.0, 300.0,
+                 lambda a: _fwd_combo("xla-rk4x13", 2048, a))
+    if _H["value"] is None:
+        # nothing measured at all — still honor the one-JSON-line
+        # contract so the driver records the failure, not a blank
+        print(json.dumps({
+            "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "parity_ok": False,
+            "details": {"error": "all fwd combos failed",
+                        "skipped": _H["skipped"]}}), flush=True)
+        return
+    _emit()
+
+    # --- Section B: trajectory fidelity (BASELINE.md north star; the
+    # cheapest gate, so it lands even on a cold compile cache) ----------
+    r = _section("fidelity", 260.0, 120.0, lambda a: _subproc_json(
+        "import json\n"
+        "from benchmarks.fidelity import trajectory_fidelity\n"
+        "e = trajectory_fidelity(solver='euler')\n"
+        "r = trajectory_fidelity(solver='rk4')\n"
+        "print(json.dumps({'ok': e['passes_1e-4'] and r['passes_1e-4'],\n"
+        "  'euler_max_rel_err': float(f\"{e['relative_error']:.3g}\"),\n"
+        "  'rk4_max_rel_err': float(f\"{r['relative_error']:.3g}\")}))",
+        timeout=a))
+    if r is not None:
+        _H["fidelity"] = r
+        _emit()
+
+    # --- Section C: compiled-kernel parity gates (bf16 fwd+bwd, then
+    # the f32-highest pair as its own budgeted section) ------------------
+    r = _section("parity_bf16", 480.0, 150.0, lambda a: _subproc_json(
+        argv=["-m", "benchmarks.parity_check", "--bf16-only"], timeout=a))
+    if r is not None:
+        _H["parity"] = r
+        _emit()
+
+    # --- Section D: in-kernel dropout semantics gate --------------------
+    r = _section("dropout", 260.0, 90.0, lambda a: _subproc_json(
+        "import json\n"
+        "from benchmarks.tpu_dropout_check import run_checks\n"
+        "r = run_checks()\n"
+        "print(json.dumps({k: v for k, v in r.items()\n"
+        "                  if not isinstance(v, (list, dict))}))",
+        timeout=a))
+    if r is not None:
+        _H["dropout_parity"] = r
+        _emit()
+
+    # --- Section D2: f32+highest kernel parity ---------------------------
+    r = _section("parity_f32", 360.0, 60.0, lambda a: _subproc_json(
+        argv=["-m", "benchmarks.parity_check", "--f32-only"], timeout=a))
+    if r is not None and "error" not in r:
+        base = dict(_H["parity"] or {})
+        base["bwd_rel_l2_f32_highest"] = r.get("bwd_rel_l2_f32_highest")
+        base["ok"] = bool(base.get("ok", False) and r.get("ok", False))
+        _H["parity"] = base
+        _emit()
+
+    # --- Section E: training variant matrix (details only) -------------
+    def run_matrix(allowed):
         from benchmarks.train_speed import variant_matrix
-        matrix = variant_matrix(budget_s=1500.0, isolate=True)
+        matrix = variant_matrix(budget_s=allowed - 30.0, isolate=True)
         free = matrix.get("free_b1024", {})
-        train = {"train_images_per_sec": free.get("images_per_sec"),
-                 "train_step_ms": free.get("step_ms"),
-                 "train_tflops_per_sec": free.get("tflops_per_sec"),
-                 "train_mfu": free.get("mfu"),
-                 "train_matrix": matrix}
-    except Exception as e:                                # noqa: BLE001
-        train = {"train_error": str(e)[:160]}
+        return {"train_images_per_sec": free.get("images_per_sec"),
+                "train_step_ms": free.get("step_ms"),
+                "train_tflops_per_sec": free.get("tflops_per_sec"),
+                "train_mfu": free.get("mfu"),
+                "train_matrix": matrix}
 
-    # ViT-Base-shape serving (the reference's FLOPs-notebook model,
-    # evaluate_performance_memory.ipynb: ODE-ViT 224px euler; TS student
-    # ratio-1 width) through the serving VMEM plan — the raised scoped
-    # limit unlocks bb=8 tiles vs bb=1 at the stock 16MB limit.
-    serve = {}
-    try:
-        r = _subproc_json("""
+    r = _section("train_matrix", 10000.0, 170.0, run_matrix)
+    if r is not None:
+        _H["train"] = r if "error" not in r else {"train_error": r["error"]}
+        _emit()
+
+    # --- Section F: 224px serving (ratio-1 student, VMEM plan) ---------
+    r = _section("serve224", 240.0, 20.0, lambda a: _subproc_json("""
 from odevit_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 import json, time
@@ -342,33 +310,15 @@ for _ in range(10):
     best = min(best, time.perf_counter() - t0)
 print(json.dumps({"ips": 64 / best, "ms": best * 1e3,
                   "kib": opts.get("xla_tpu_scoped_vmem_limit_kib")}))
-""")
-        serve = {"serve224_images_per_sec": round(r["ips"], 1),
-                 "serve224_step_ms": round(r["ms"], 2),
-                 "serve224_plan_kib": r["kib"]}
-    except Exception as e:                                # noqa: BLE001
-        serve = {"serve224_error": str(e)[:160]}
+""", timeout=a))
+    if r is not None:
+        _H["serve"] = (
+            {"serve224_error": r["error"]} if "error" in r else
+            {"serve224_images_per_sec": round(r["ips"], 1),
+             "serve224_step_ms": round(r["ms"], 2),
+             "serve224_plan_kib": r["kib"]})
 
-    ips, batch, path, step_s = best
-    per_step_ms = step_s / (model.num_eval_steps - 1) * 1e3
-    print(json.dumps({
-        "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
-        "value": round(ips, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / 20000.0, 4),
-        "parity_ok": parity_ok,
-        "details": {
-            "parity": parity,
-            "dropout_parity": dropout_parity,
-            "batch": batch,
-            "path": path,
-            "per_rk_step_latency_ms": round(per_step_ms, 4),
-            "nfe": 48,
-            "device": str(jax.devices()[0]),
-            **train,
-            **serve,
-        },
-    }))
+    _emit(final=True)
 
 
 if __name__ == "__main__":

@@ -296,10 +296,15 @@ def variant_matrix(budget_s: float = 1500.0, isolate: bool = False) -> dict:
         import subprocess
         import sys
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # per-entry timeout bounded by the REMAINING budget: one stalled
+        # entry must not blow the caller's global wall-clock window
+        # (round 3's driver bench timed out exactly this way)
+        left = budget_s - (time.time() - t0)
         r = subprocess.run(
             [sys.executable, "-m", "benchmarks.train_speed",
              "--variant", name],
-            capture_output=True, text=True, timeout=2400, cwd=repo)
+            capture_output=True, text=True,
+            timeout=max(60.0, min(2400.0, left + 60.0)), cwd=repo)
         for line in reversed(r.stdout.strip().splitlines()):
             if line.strip().startswith("{"):
                 return _json.loads(line)
