@@ -98,8 +98,12 @@ class ServingEngine:
         assert images.shape[1:] == self._sample_shape, \
             f"expected (*, {self._sample_shape}), got {images.shape}"
         if images.dtype != self._in_dtype:
-            if (np.issubdtype(images.dtype, np.floating)
-                    and self._in_dtype == np.float32):
+            if self._in_dtype == np.float32 and (
+                    np.issubdtype(images.dtype, np.floating)
+                    or np.issubdtype(images.dtype, np.integer)):
+                # integer inputs (e.g. raw uint8 images with no
+                # preprocess) cast safely to f32 — keep old callers
+                # working without a recompile (ADVICE r3)
                 images = images.astype(np.float32)
             else:
                 raise TypeError(
@@ -107,6 +111,14 @@ class ServingEngine:
                     f"inputs, got {images.dtype.name}")
         fut: Future = Future()
         self._queue.put((images, fut, time.perf_counter()))
+        # TOCTOU vs close(): the put can land after close() drained the
+        # queue (that future would never resolve) — re-check and fail it
+        # here; done() guards on both sides make double-resolution safe
+        if self._stop.is_set():
+            try:
+                fut.set_exception(RuntimeError("engine closed"))
+            except Exception:                               # noqa: BLE001
+                pass  # dispatcher/close resolved it first
         return fut
 
     def stats(self) -> dict:
@@ -199,5 +211,8 @@ class ServingEngine:
                 self._stats["latency_ms_sum"] += (now - t0) * 1e3
         off = 0
         for imgs, fut, _ in pending:
-            fut.set_result(logits[off:off + imgs.shape[0]])
+            # a caller may have cancelled its future; set_result would
+            # raise InvalidStateError and poison the rest of the batch
+            if not fut.done():
+                fut.set_result(logits[off:off + imgs.shape[0]])
             off += imgs.shape[0]

@@ -118,8 +118,9 @@ def test_engine_survives_failing_run():
 
 
 def test_engine_dtype_guard():
-    """Float inputs coerce to the compiled f32 buckets; non-float dtypes
-    are rejected rather than compiling a fresh program mid-request."""
+    """Float AND integer inputs coerce to the compiled f32 buckets
+    (uint8 is a safe cast — ADVICE r3); incoercible dtypes are rejected
+    rather than compiling a fresh program mid-request."""
     m, params, rng = setup()
     with ServingEngine(m, params, batch_buckets=(2,), max_delay_ms=0.5,
                        use_pallas=False) as eng:
@@ -129,12 +130,59 @@ def test_engine_dtype_guard():
             m, params, jnp.asarray(x64.astype(np.float32)),
             use_pallas=False)["logits"])
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+        u8 = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+        got = eng.submit(u8).result(timeout=60)
+        want = np.asarray(fast_forward(
+            m, params, jnp.asarray(u8.astype(np.float32)),
+            use_pallas=False)["logits"])
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
         try:
-            eng.submit(np.zeros((1, 16, 16, 3), np.uint8))
+            eng.submit(np.zeros((1, 16, 16, 3), np.complex64))
             raised = False
         except TypeError:
             raised = True
         assert raised
+
+
+def test_engine_cancelled_future_does_not_poison_batch():
+    """A caller-cancelled future must not make set_result raise and take
+    down the rest of its coalesced batch (ADVICE r3)."""
+    m, params, rng = setup()
+    # long coalesce delay so both requests land in one device batch and
+    # we can cancel before the dispatcher runs it
+    with ServingEngine(m, params, batch_buckets=(4,), max_delay_ms=200.0,
+                       use_pallas=False) as eng:
+        x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+        f1 = eng.submit(x)
+        f2 = eng.submit(x)
+        assert f1.cancel()  # not yet running: cancellable
+        got = f2.result(timeout=60)
+        assert got.shape == (1, 7)
+        assert eng.stats()["failed_requests"] == 0
+
+
+def test_engine_submit_close_race_resolves_future():
+    """If close() drains the queue between submit()'s stop-check and its
+    put(), the orphaned future must still resolve (ADVICE r3 TOCTOU).
+    Simulated by running close() from inside the queue.put seam."""
+    m, params, rng = setup()
+    eng = ServingEngine(m, params, batch_buckets=(2,), max_delay_ms=0.5,
+                        use_pallas=False)
+    orig_put = eng._queue.put
+
+    def put_then_close(item):
+        # close() finishes (stop set, queue drained) before the put
+        # lands — the exact interleaving the TOCTOU fix covers
+        eng.close()
+        orig_put(item)
+
+    eng._queue.put = put_then_close
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    fut = eng.submit(x)
+    try:
+        fut.result(timeout=10)   # either a real result...
+    except RuntimeError as e:    # ...or "engine closed" — never a hang
+        assert "engine closed" in str(e)
 
 
 def test_serving_vmem_plan_tiers():
