@@ -59,6 +59,61 @@ def _gelu_grad(x):
             + x * 0.3989422804014327 * jnp.exp(-0.5 * x * x))
 
 
+def _jas_pbar(p, gj, st, kk, jas_tri, dtype):
+    """JaSMin statistic cotangents scattered into the PRE-dropout p_bar.
+
+    VALUE-BASED scatter (no extraction passes): the forward's statistics
+    tensor rides the custom-vjp residuals, so rank r's cotangent lands
+    directly on the column the XLA twin's stable first-occurrence
+    extraction picks — the (r - count(p > v_r))-th leftmost column with
+    p == v_r. Equality is exact: v_r was extracted from the same
+    bf16-rounded f32 values this recompute reproduces. The within-ties
+    ordinal comes from an MXU prefix-sum (eq @ upper-triangular ones,
+    f32 accumulation — exact integer counts). The clipped-rowsum
+    cotangent spreads over the row through the clip indicator.
+
+    ``p`` [TB, N_q, N] f32 attention rows; ``gj``/``st`` [TB, 5, N_q]
+    cotangents / order statistics; returns the p_bar contribution.
+    """
+    f32 = jnp.float32
+    pj = p.astype(dtype).astype(f32)
+    # match the XLA twin's jnp.clip subgradient exactly: 1 strictly
+    # inside (1e-12, 1.0), 0.5 AT either boundary (JAX min/max
+    # tie-splitting — bf16 rows round to exactly 1.0 on peaked heads,
+    # so the boundary case is live), 0 outside
+    lo = ((pj >= 1e-12).astype(f32) + (pj > 1e-12).astype(f32)) * 0.5
+    hi = ((pj <= 1.0).astype(f32) + (pj < 1.0).astype(f32)) * 0.5
+    pbar_jas = gj[:, 4, :][:, :, None] * (lo * hi)
+    # stats rows 0..3 hold ranks (1, 2, kk-1, kk); coincident ranks
+    # (k=1 -> (1, 2, 1, 2)) sum their cotangents first
+    by_rank = {}
+    for row_i, r in enumerate((1, 2, kk - 1, kk)):
+        by_rank.setdefault(r, []).append(row_i)
+    for r, rows_g in sorted(by_rank.items()):
+        c = gj[:, rows_g[0], :]
+        for ri in rows_g[1:]:
+            c = c + gj[:, ri, :]
+        v = st[:, rows_g[0], :][:, :, None]                 # [TB, N_q, 1]
+        eq = (pj == v).astype(f32)
+        gt = jnp.sum((pj > v).astype(f32), axis=-1)
+        ord_ = jax.lax.dot_general(
+            eq.astype(dtype), jas_tri,
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=f32)                     # [TB, N_q, N]
+        target = (ord_ == (float(r) - gt)[:, :, None]).astype(f32) * eq
+        pbar_jas = pbar_jas + target * c[:, :, None]
+    return pbar_jas
+
+
+def _jas_tri_ones(n_pad, dtype):
+    """Upper-triangular (i <= j) ones for the MXU prefix-sum of the
+    JaSMin scatter; hoisted out of the head loop. 0/1 in the compute
+    dtype is exact, and the f32-accumulated matmul counts are exact."""
+    return ((jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+             <= jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1))
+            .astype(dtype))
+
+
 def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                    wqkv_ref, wout_ref, w1_ref, w2_ref, g_ref,
                    *refs,
@@ -132,12 +187,7 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     pdims = (((2,), (1,)), ((0,), (0,)))      # [TB,N,N] x [TB,N,hd]
 
     g = g_ref[:].astype(f32) * scaler          # mo_bar == ao_bar (no drop)
-    # upper-triangular (i <= j) ones for the MXU prefix-sum of the
-    # JaSMin scatter; hoisted out of the head loop. 0/1 in the compute
-    # dtype is exact, and the f32-accumulated matmul counts are exact.
-    jas_tri = ((jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
-                <= jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1))
-               .astype(dtype) if jas_kk else None)
+    jas_tri = _jas_tri_ones(n_pad, dtype) if jas_kk else None
 
     # ---- MLP backward ----
     if mlp_drop > 0.0:
@@ -218,53 +268,8 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
             # the pre-dropout p_bar directly
             p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
         if jas_kk:
-            # JaSMin statistic cotangents scatter into the PRE-dropout
-            # p_bar. VALUE-BASED scatter (no extraction passes): the
-            # forward's statistics tensor rides the custom-vjp residuals,
-            # so rank r's cotangent lands directly on the column the XLA
-            # twin's stable first-occurrence extraction picks — the
-            # (r - count(p > v_r))-th leftmost column with p == v_r.
-            # Equality is exact: v_r was extracted from the same
-            # bf16-rounded f32 values this recompute reproduces. The
-            # within-ties ordinal comes from an MXU prefix-sum
-            # (eq @ upper-triangular ones, f32 accumulation — exact
-            # integer counts), replacing the kk max/min-reduction passes
-            # of rounds 2-3. The clipped-rowsum cotangent spreads over
-            # the row through the clip indicator, as before.
-            kk = jas_kk
-            gj = gjas_ref[:, hh]                        # [TB, 5, N_q]
-            st = stats_ref[:, hh]                       # [TB, 5, N_q]
-            pj = p.astype(dtype).astype(f32)
-            # match the XLA twin's jnp.clip subgradient exactly: 1 strictly
-            # inside (1e-12, 1.0), 0.5 AT either boundary (JAX min/max
-            # tie-splitting — bf16 rows round to exactly 1.0 on peaked
-            # heads, so the boundary case is live), 0 outside
-            lo = ((pj >= 1e-12).astype(f32)
-                  + (pj > 1e-12).astype(f32)) * 0.5
-            hi = ((pj <= 1.0).astype(f32)
-                  + (pj < 1.0).astype(f32)) * 0.5
-            clipgrad = lo * hi
-            pbar_jas = gj[:, 4, :][:, :, None] * clipgrad
-            # stats rows 0..3 hold ranks (1, 2, kk-1, kk); coincident
-            # ranks (k=1 -> (1, 2, 1, 2)) sum their cotangents first
-            by_rank = {}
-            for row_i, r in enumerate((1, 2, kk - 1, kk)):
-                by_rank.setdefault(r, []).append(row_i)
-            for r, rows_g in sorted(by_rank.items()):
-                c = gj[:, rows_g[0], :]
-                for ri in rows_g[1:]:
-                    c = c + gj[:, ri, :]
-                v = st[:, rows_g[0], :][:, :, None]     # [TB, N_q, 1]
-                eq = (pj == v).astype(f32)
-                gt = jnp.sum((pj > v).astype(f32), axis=-1)
-                ord_ = jax.lax.dot_general(
-                    eq.astype(dtype), jas_tri,
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=f32)         # [TB, N_q, N]
-                target = (ord_ == (float(r) - gt)[:, :, None]
-                          ).astype(f32) * eq
-                pbar_jas = pbar_jas + target * c[:, :, None]
-            p_bar = p_bar + pbar_jas
+            p_bar = p_bar + _jas_pbar(p, gjas_ref[:, hh], stats_ref[:, hh],
+                                      jas_kk, jas_tri, dtype)
         v_bar = jax.lax.dot_general(
             p_used, cb_h,
             (((1,), (1,)), ((0,), (0,))),                 # p^T @ cb_h
@@ -408,16 +413,22 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
                      g_ref, xbarm_ref, *refs, num_heads: int,
                      scaler: float, n_real: int, block_b: int,
                      has_attn_bar: bool, attn_drop: float = 0.0,
-                     proj_drop: float = 0.0, has_seed: bool = False):
+                     proj_drop: float = 0.0, has_seed: bool = False,
+                     jas_kk: int = 0):
     """Attention-branch backward (split-kernel path); same math as the
-    attention half of _vf_bwd_kernel. Takes the MLP kernel's x_bar
-    contribution as an INPUT and emits the summed x_bar: the data
-    dependency forces XLA to schedule the two kernels sequentially, so
-    their scoped-VMEM stack frames never coexist — concurrent pallas
-    calls in one computation share the 16MB scoped budget (measured:
-    two ~8.4M kernels scheduled together OOM at 16.7M)."""
+    attention half of _vf_bwd_kernel, incl. the optional JaSMin
+    order-statistics scatter (jas_kk > 0 — this is what lets the
+    TS-Base distill step use the split path; the MLP branch is
+    jas-oblivious). Takes the MLP kernel's x_bar contribution as an
+    INPUT and emits the summed x_bar: the data dependency forces XLA to
+    schedule the two kernels sequentially, so their scoped-VMEM stack
+    frames never coexist — concurrent pallas calls in one computation
+    share the 16MB scoped budget (measured: two ~8.4M kernels scheduled
+    together OOM at 16.7M)."""
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
+    gjas_ref = refs.pop(0) if jas_kk else None
+    stats_ref = refs.pop(0) if jas_kk else None
     seed_ref = refs.pop(0) if has_seed else None
     (xbar_ref, wqkvbar_ref, woutbar_ref, cnasbar_ref, cnabbar_ref) = refs[:5]
     ctx_scratch, qkvbar_scratch = refs[5:]
@@ -451,6 +462,7 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
     pdims = (((2,), (1,)), ((0,), (0,)))
 
     g = g_ref[:].astype(f32) * scaler
+    jas_tri = _jas_tri_ones(n_pad, dtype) if jas_kk else None
     if proj_drop > 0.0:
         g = g * _mask_2d(proj_drop, seed, DROP_SITE_ATTN_OUT, img0,
                          block_b, n_pad, d)
@@ -485,6 +497,9 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
             p_bar = p_bar * mask_p
         if has_attn_bar:
             p_bar = p_bar + gattn_ref[:, hh, :, :].astype(f32)
+        if jas_kk:
+            p_bar = p_bar + _jas_pbar(p, gjas_ref[:, hh], stats_ref[:, hh],
+                                      jas_kk, jas_tri, dtype)
         v_bar = jax.lax.dot_general(
             p_used, cb_h, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=f32)
@@ -569,16 +584,26 @@ def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
 
 
 def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
-                 has_drop: bool, requested: int = 16):
+                 has_drop: bool, requested: int = 16,
+                 emit_jas: bool = False):
     """(mlp_block_b, dh_chunk, attn_block_b) for the split backward, or
     None when even 1-image tiles don't fit. Estimates mirror each
     kernel's live set (see kernel docstrings). Each kernel gets the full
     raised budget of the shape's scoped-VMEM plan: the two are chained
-    through x_bar, so their stack frames never coexist."""
-    from odevit_tpu.kernels.vector_field import TOKEN_PAD, bwd_vmem_plan
+    through x_bar, so their stack frames never coexist. Tiles are capped
+    to the shape's proven Mosaic compile-cost class (_tile_class_cap),
+    like the combined dispatch."""
+    from odevit_tpu.kernels.vector_field import (TOKEN_PAD, bwd_vmem_plan,
+                                                 _tile_class_cap)
     VMEM_BUDGET = bwd_vmem_plan(n, d, dh, num_heads,
-                                emit_attn=has_attn_bar)[1]
+                                emit_attn=has_attn_bar,
+                                emit_jas=emit_jas)[1]
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
+    # each split kernel is a d-class program: the attention kernel never
+    # touches dh, and the MLP kernel's hidden is chunked — the dh>=2048
+    # pin of the COMBINED cap (driven by the whole-evaluation program)
+    # does not apply to the halves
+    requested = min(requested, _tile_class_cap(d, d))
 
     # ---- MLP kernel: batch tile x hidden chunk ----
     w_mlp = 12 * d * dh
@@ -600,6 +625,10 @@ def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
     per = 54 * n_pad * d + 28 * n_pad * n_pad
     if has_attn_bar:
         per += 2 * num_heads * n_pad * n_pad
+    if emit_jas:
+        # gjas/stats inputs are tiny ([bb, H, 5, n]); the scatter's
+        # in-kernel f32 temporaries (eq/ord/target per head) dominate
+        per += 24 * n_pad * n_pad
     if has_drop:
         per += 4 * n_pad * n_pad
     attn_bb = 0
@@ -625,15 +654,19 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
                          w2, g_dx, g_attn, tiles, *, num_heads: int,
                          scaler: float, n_real: int, seed=None,
                          attn_drop: float = 0.0, proj_drop: float = 0.0,
-                         mlp_drop: float = 0.0):
+                         mlp_drop: float = 0.0, g_jas=None,
+                         jas_stats=None, jas_k: int = 0):
     """Split-kernel backward: one MLP-branch kernel + one attention-branch
     kernel, each at its own (larger) batch tile; x_bar contributions add
-    exactly (CenterNorm backward is linear in the branch cotangents)."""
+    exactly (CenterNorm backward is linear in the branch cotangents).
+    The JaSMin order-statistics cotangent (``g_jas``/``jas_stats``)
+    routes into the attention kernel only."""
     from odevit_tpu.kernels.vector_field import TOKEN_PAD
     mlp_bb, dh_chunk, attn_bb = tiles
     b, n, d = x.shape
     dh = w1.shape[-1]
     f32 = jnp.float32
+    has_jas = g_jas is not None
 
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     if n_pad != n:
@@ -643,6 +676,12 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
         if g_attn is not None:
             g_attn = jnp.pad(g_attn, ((0, 0), (0, 0), (0, n_pad - n),
                                       (0, n_pad - n)))
+        if has_jas:
+            # query rows ride the LAST axis of the statistics tensor
+            g_jas = jnp.pad(g_jas, ((0, 0), (0, 0), (0, 0),
+                                    (0, n_pad - n)))
+            jas_stats = jnp.pad(jas_stats, ((0, 0), (0, 0), (0, 0),
+                                            (0, n_pad - n)))
     x2d = x.reshape(b * n_pad, d)
     g2d = g_dx.reshape(b * n_pad, d).astype(x.dtype)
     wqkv_c, wout_c, w1_c, w2_c = (w.astype(x.dtype)
@@ -694,7 +733,8 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
         n_real=n_real, block_b=attn_bb,
         has_attn_bar=g_attn is not None,
         attn_drop=attn_drop if has_seed else 0.0,
-        proj_drop=proj_drop if has_seed else 0.0, has_seed=has_seed)
+        proj_drop=proj_drop if has_seed else 0.0, has_seed=has_seed,
+        jas_kk=(max(jas_k, 1) + 1) if has_jas else 0)
     in_specs = [row_spec(rows_a), vec, vec,
                 pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
                 pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
@@ -706,6 +746,14 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
             (attn_bb, num_heads, n_pad, n_pad),
             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
         operands.append(g_attn.astype(x.dtype))
+    if has_jas:
+        from odevit_tpu.losses.jasmin import JAS_ROWS
+        jas_spec = pl.BlockSpec(
+            (attn_bb, num_heads, JAS_ROWS, n_pad),
+            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        in_specs += [jas_spec, jas_spec]
+        operands += [g_jas.astype(jnp.float32),
+                     jas_stats.astype(jnp.float32)]
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(seed_op)
@@ -787,17 +835,30 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                                emit_attn=g_attn is not None,
                                emit_jas=has_jas,
                                requested=block_b, bwd=True)
-    if combined_bb == 0 and not has_jas and not has_bias \
-            and not l2_attention:
-        tiles = _split_tiles(b, n, d, dh, num_heads,
-                             has_attn_bar=g_attn is not None,
-                             has_drop=has_drop, requested=block_b)
-        if tiles is not None:
+    # Split dispatch (per-branch kernels chained through x_bar):
+    #  * always when the combined kernel can't fit one image;
+    #  * ALSO at big-d shapes where the combined kernel is pinned to
+    #    bb=1 but the halves each fit a >=2 tile — at TS-Base (d=768,
+    #    ratio-4) the MLP weight-grad accumulators (18.9MB f32) leave
+    #    the attention kernel's frame and both halves tile at bb=2
+    #    (VERDICT r3 item 4a: the bwd is 48% of the step at bb=1).
+    # The bias/L2 variants keep the combined kernel (CIFAR-class shapes;
+    # no split twin implemented).
+    if not has_bias and not l2_attention:
+        tiles = None
+        if combined_bb == 0 or (combined_bb == 1 and d >= 512):
+            tiles = _split_tiles(b, n, d, dh, num_heads,
+                                 has_attn_bar=g_attn is not None,
+                                 has_drop=has_drop, requested=block_b,
+                                 emit_jas=has_jas)
+        if tiles is not None and (combined_bb == 0
+                                  or min(tiles[0], tiles[2]) >= 2):
             return _pallas_vf_bwd_split(
                 x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2, g_dx,
                 g_attn, tiles, num_heads=num_heads, scaler=scaler,
                 n_real=n_real, seed=seed, attn_drop=attn_drop,
-                proj_drop=proj_drop, mlp_drop=mlp_drop)
+                proj_drop=proj_drop, mlp_drop=mlp_drop,
+                g_jas=g_jas, jas_stats=jas_stats, jas_k=jas_k)
     block_b = combined_bb
     if block_b == 0:
         # Big-d shapes (ViT-Base: the f32 weight-grad accumulators alone

@@ -113,6 +113,19 @@ def test_bwd_dispatch_ladder():
                         requested=16, bwd=True) == 0
     assert _split_tiles(64, 208, 1280, 5120, 16, has_attn_bar=True,
                         has_drop=False, requested=16) is None
+    # TS-Base JaSMin route (r4): the combined kernel is pinned to bb=1
+    # by the ratio-4 weight-grad accumulators, but the split halves each
+    # tile at bb=2 (the d-class cap) — incl. with the jas cotangent, so
+    # the distill step's backward dispatches to the split path. Measured
+    # on-chip: a TIE at B=64 (343.9 vs 344.0 ms) — kept for the faster
+    # compile (108s vs 174s) and the headroom class; see NOTES_ROUND4.
+    assert auto_block_b(64, 197, 768, 3072, 12, emit_jas=True,
+                        requested=16, bwd=True) == 1
+    assert _split_tiles(64, 197, 768, 3072, 12, has_attn_bar=False,
+                        has_drop=False, requested=16,
+                        emit_jas=True) == (2, 3072, 2)
+    assert _split_tiles(64, 197, 768, 3072, 12, has_attn_bar=True,
+                        has_drop=False, requested=16) == (2, 3072, 2)
 
 
 def test_bwd_tile_requested_independent_and_fwd_budget():

@@ -134,6 +134,56 @@ def test_padded_tokens_ignored():
     np.testing.assert_allclose(np.asarray(ls), np.asarray(la), rtol=2e-5)
 
 
+@pytest.mark.parametrize("k", [1, 10])
+@pytest.mark.parametrize("ties", [False, True])
+def test_split_bwd_jas_matches_combined(k, ties):
+    """The SPLIT backward path with the JaSMin statistics cotangent
+    (the TS-Base bb=2 route, VERDICT r4) must produce the same nine
+    cotangents as the COMBINED kernel — incl. exactly-tied attention
+    columns. The statistics come from the kernel FORWARD
+    (fused_vf_jasmin), matching the real custom-vjp pipeline: the
+    value-equality scatter is only exact against the kernel's own
+    recomputed p (an XLA-forward p can differ at ulp level, which is
+    why the XLA twin is not the reference here; combined<->XLA parity
+    is pinned by test_grad_parity_* above)."""
+    from odevit_tpu.kernels import vector_field as VF
+    from odevit_tpu.kernels import vector_field_bwd as VB
+    from odevit_tpu.kernels.vector_field_bwd import (_pallas_vf_bwd_split,
+                                                     pallas_vf_bwd)
+
+    args = list(_operands(seed=5))
+    if ties:
+        x = np.array(args[0], np.float32)
+        x[:, 5:13] = x[:, 4:5]
+        args[0] = jnp.asarray(x)
+    x, *ws = args
+    rng = np.random.default_rng(7)
+    g_dx = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    _, st = fused_vf_jasmin(x, *ws, H, 1.5, 2, N, k)
+    g_jas = jnp.asarray(rng.standard_normal(st.shape), jnp.float32)
+
+    # g_attn stays None: the custom-vjp routes pass either the map
+    # cotangent or the jas cotangent, never both (see vector_field.py)
+    got = _pallas_vf_bwd_split(
+        x, *ws, g_dx, None, (2, DH, 2), num_heads=H, scaler=1.5,
+        n_real=N, g_jas=g_jas, jas_stats=st, jas_k=k)
+    orig_split, orig_auto = VB._split_tiles, VF.auto_block_b
+    VB._split_tiles = lambda *a, **kw: None
+    VF.auto_block_b = lambda *a, **kw: 2
+    try:
+        want = pallas_vf_bwd(
+            x, *ws, g_dx, None, num_heads=H, scaler=1.5, block_b=2,
+            n_real=N, g_jas=g_jas, jas_stats=st, jas_k=k)
+    finally:
+        VB._split_tiles, VF.auto_block_b = orig_split, orig_auto
+    names = ["x", "cna_s", "cna_b", "cnm_s", "cnm_b", "wqkv",
+             "wout", "w1", "w2"]
+    for name, a, w in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=f"{name} ties={ties}")
+
+
 @pytest.mark.parametrize("k", [1, 3, 10])
 def test_grad_parity_tied_columns(k):
     """Repeated tokens make attention columns tie EXACTLY (identical
