@@ -84,10 +84,14 @@ def build_datasets(cfg) -> Tuple[tuple, tuple, int]:
         n_cls = int(cfg.data.dataset.get("num_classes",
                                          NUM_CLASSES["synthetic"]))
         img = int(cfg.data.dataset.get("image_size", 32))
+        # `jitter: N` places each sample's class template at a random
+        # cyclic offset (translation-invariant class signal) — the
+        # variant where crop/flip augmentation is label-preserving
+        jit = int(cfg.data.dataset.get("jitter", 0))
         train = synthetic_dataset(int(cfg.data.dataset.get("train_size", 512)),
-                                  img, n_cls, seed=0)
+                                  img, n_cls, seed=0, jitter=jit)
         val = synthetic_dataset(int(cfg.data.dataset.get("val_size", 256)),
-                                img, n_cls, seed=1)
+                                img, n_cls, seed=1, jitter=jit)
         return train, val, n_cls
     train = ImageFolder(os.path.join(path, "train"))
     val = ImageFolder(os.path.join(path, "val"))

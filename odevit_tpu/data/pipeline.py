@@ -138,7 +138,8 @@ def synthetic_batch(batch_size: int, image_size: int = 32,
 
 
 def synthetic_dataset(n: int, image_size: int = 32, num_classes: int = 10,
-                      seed: int = 0, signal: float = 0.5):
+                      seed: int = 0, signal: float = 0.5,
+                      jitter: int = 0):
     """Class-structured synthetic images (CIFAR stand-in when the real
     datasets are absent). Each class has a fixed random template; a
     sample is template*signal + noise*(1-signal), so train/val splits
@@ -146,12 +147,31 @@ def synthetic_dataset(n: int, image_size: int = 32, num_classes: int = 10,
     genuinely rise during training. Templates are derived from a fixed
     class-keyed RNG, independent of ``seed`` (which only drives the
     per-sample noise and label draw), so different splits see the same
-    classes. ``signal=0`` recovers pure label-free noise."""
+    classes. ``signal=0`` recovers pure label-free noise.
+
+    ``jitter > 0`` makes the class signal translation-invariant: each
+    sample's template is cyclically shifted by a random per-sample
+    offset in [-jitter, jitter]^2, and templates are mirror-symmetrized
+    so a horizontal flip is label-preserving too. On the plain (pinned)
+    variant, crop/flip augmentation *destroys* the class signal
+    (measured: val 0.029 vs 0.512, evidence/evidence_augment_on) — the
+    jittered variant is the one where augmentation is label-preserving
+    and can genuinely help (VERDICT r3 item 6)."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, n).astype(np.int32)
     noise = rng.integers(0, 256, (n, image_size, image_size, 3))
     tmpl_rng = np.random.default_rng(123456789)
     templates = tmpl_rng.integers(
-        0, 256, (num_classes, image_size, image_size, 3))
-    imgs = (templates[labels] * signal + noise * (1.0 - signal))
+        0, 256, (num_classes, image_size, image_size, 3)).astype(np.float64)
+    if jitter > 0:
+        # flip-symmetric template: flip(t) == t exactly
+        templates = (templates + templates[:, :, ::-1]) / 2.0
+        picked = templates[labels]
+        dy = rng.integers(-jitter, jitter + 1, n)
+        dx = rng.integers(-jitter, jitter + 1, n)
+        picked = np.stack([np.roll(img, (int(y), int(x)), axis=(0, 1))
+                           for img, y, x in zip(picked, dy, dx)])
+    else:
+        picked = templates[labels]
+    imgs = picked * signal + noise * (1.0 - signal)
     return np.clip(imgs, 0, 255).astype(np.uint8), labels
