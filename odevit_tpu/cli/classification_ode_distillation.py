@@ -26,7 +26,8 @@ from odevit_tpu.train.state import (create_train_state, freeze_paths,
 from odevit_tpu.train.steps import (make_distill_train_step, make_eval_step)
 from odevit_tpu.utils.init_utils import init_on_cpu
 
-CURRICULUM_EPOCH = 200
+CURRICULUM_EPOCH = 200   # reference default (main_classification_ode_distillation.py:211-213); override with
+#                          setup.dict.curriculum_epoch (additive key, for short evidence runs)
 
 
 def build_teacher_and_student(cfg, num_classes, sample_pixels):
@@ -91,12 +92,37 @@ def main(cfg):
         1e-4, int(0.05 * total_steps), total_steps, max(1, epochs // 100))
 
     curriculum = bool(sd.get("curriculum", False))
+    curriculum_epoch = int(sd.get("curriculum_epoch",
+                                  CURRICULUM_EPOCH))
     mask_frozen = freeze_paths(params, GRAFT_FROZEN_PATHS)
     mask_open = freeze_paths(params, GRAFT_FROZEN_PATHS[:2])
+    # head LR re-warmup (r3 evidence: the epoch-200 unfreeze dropped val
+    # 0.998 -> 0.813 when the grafted head hit the full LR at once):
+    # ramp the head's update scale 0 -> 1 over `head_rewarm_epochs`
+    # starting at the unfreeze step. Identical transform in both phase
+    # optimizers keeps the opt_state swap zero-cost.
+    group_scale = None
+    rewarm_epochs = int(sd.get("head_rewarm_epochs", 10))
+    if curriculum and epochs > curriculum_epoch and rewarm_epochs > 0:
+        unfreeze_step = (curriculum_epoch - 1) * steps_per_epoch
+        rewarm_steps = max(1, rewarm_epochs * steps_per_epoch)
+
+        def head_rewarm(count):
+            return jnp.clip((count - unfreeze_step) / rewarm_steps,
+                            0.0, 1.0)
+
+        # head params = frozen under mask_frozen but trainable under
+        # mask_open (exactly the curriculum-opened group)
+        head_mask = jax.tree_util.tree_map(
+            lambda open_t, frozen_t: open_t and not frozen_t,
+            mask_open, mask_frozen)
+        group_scale = (head_mask, head_rewarm)
     tx_frozen = make_optimizer(sched, weight_decay=5e-2, clip_norm=1.0,
-                               trainable_mask=mask_frozen)
+                               trainable_mask=mask_frozen,
+                               group_scale=group_scale)
     tx_open = make_optimizer(sched, weight_decay=5e-2, clip_norm=1.0,
-                             trainable_mask=mask_open)
+                             trainable_mask=mask_open,
+                             group_scale=group_scale)
     state = create_train_state(params, tx_frozen)
 
     ckpt = CheckpointManager(
@@ -203,9 +229,9 @@ def main(cfg):
     log_every = int(sd.get("log_every", 100))
 
     for epoch in range(start_epoch, epochs):
-        head_open = curriculum and epoch >= CURRICULUM_EPOCH
+        head_open = curriculum and epoch >= curriculum_epoch
         step = step_open if head_open else step_frozen
-        supervise = use_supervision and epoch > CURRICULUM_EPOCH
+        supervise = use_supervision and epoch > curriculum_epoch
 
         def step_fn(state, batch, rng, _step=step, _sup=supervise):
             return _step(state, teacher_pack, batch, rng, supervise=_sup)

@@ -64,7 +64,17 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    group_scale=None,
 ) -> optax.GradientTransformation:
+    """``group_scale=(mask, schedule)`` multiplies the post-Adam update
+    of the masked params by ``schedule(global_step)`` — a per-param-group
+    LR factor. Used for the curriculum head re-warmup: when the grafted
+    head unfreezes at epoch 200, its LR ramps 0 -> 1 instead of hitting
+    the full schedule at once (the round-3 evidence run's post-unfreeze
+    val cliff, 0.998 -> 0.813). Pass the SAME group_scale to the frozen-
+    and open-phase optimizers: the state structures stay identical, so
+    the curriculum swap remains a zero-cost opt_state carry-over (the
+    scale is harmless pre-unfreeze — those grads are zeroed anyway)."""
     parts = []
     if trainable_mask is not None:
         frozen_mask = jax.tree_util.tree_map(lambda t: not t, trainable_mask)
@@ -74,6 +84,9 @@ def make_optimizer(
     parts.append(optax.adamw(
         learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
         mask=trainable_mask))
+    if group_scale is not None:
+        mask, schedule = group_scale
+        parts.append(optax.masked(optax.scale_by_schedule(schedule), mask))
     tx = optax.chain(*parts)
     if accumulate_steps and accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)

@@ -102,6 +102,57 @@ def test_curriculum_unfreeze_reuses_opt_state():
     assert not np.array_equal(head0, head1)  # head now moves
 
 
+def test_head_rewarm_group_scale():
+    """Curriculum head LR re-warmup (VERDICT r3 item 7): with
+    group_scale=(head_mask, ramp), the head's update is suppressed right
+    after the unfreeze and ramps toward the full schedule, while other
+    params are untouched; the frozen/open optimizers keep identical
+    opt_state structure (zero-cost curriculum swap)."""
+    m = tiny_student()
+    batch = fixed_batch()
+    v = m.init(jax.random.PRNGKey(0), batch["pixel_values"])
+    mask_frozen = freeze_paths(v["params"], GRAFT_FROZEN_PATHS)
+    mask_open = freeze_paths(v["params"], GRAFT_FROZEN_PATHS[:2])
+    head_mask = jax.tree_util.tree_map(
+        lambda o, f: o and not f, mask_open, mask_frozen)
+    unfreeze, rewarm = 2, 4
+
+    def ramp(count):
+        return jnp.clip((count - unfreeze) / rewarm, 0.0, 1.0)
+
+    tx0 = make_optimizer(1e-2, trainable_mask=mask_frozen,
+                         group_scale=(head_mask, ramp))
+    tx1 = make_optimizer(1e-2, trainable_mask=mask_open,
+                         group_scale=(head_mask, ramp))
+    state = create_train_state(v["params"], tx0)
+    assert jax.tree_util.tree_structure(state.opt_state) == \
+        jax.tree_util.tree_structure(tx1.init(v["params"]))
+
+    step0 = make_free_train_step(m, tx0, jasmin_k=2, donate=False)
+    step1 = make_free_train_step(m, tx1, jasmin_k=2, donate=False)
+    # steps 0,1: frozen phase (ramp value irrelevant, head grads zeroed)
+    for _ in range(unfreeze):
+        state, _ = step0(state, batch, jax.random.PRNGKey(1))
+    head_at_unfreeze = np.asarray(state.params["head"]["kernel"])
+    vf_before = np.asarray(state.params["vf"]["mlp"]["fc1_kernel"])
+    # step 2: head just unfroze; ramp(2) == 0 -> head still pinned,
+    # everything else moves at full LR
+    state, _ = step1(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["head"]["kernel"]), head_at_unfreeze)
+    assert not np.array_equal(
+        np.asarray(state.params["vf"]["mlp"]["fc1_kernel"]), vf_before)
+    # later steps: ramp > 0 -> head moves, by growing increments
+    deltas = []
+    for _ in range(3):
+        prev = np.asarray(state.params["head"]["kernel"])
+        state, _ = step1(state, batch, jax.random.PRNGKey(1))
+        deltas.append(np.abs(
+            np.asarray(state.params["head"]["kernel"]) - prev).max())
+    assert deltas[0] > 0
+    assert deltas[-1] > deltas[0] * 1.5   # ramp visibly increasing
+
+
 @pytest.fixture(scope="module")
 def distill_setup():
     student = tiny_student(num_eval_steps=8)
