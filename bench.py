@@ -96,7 +96,17 @@ def _emit(final: bool = False) -> None:
 def _on_term(signum, frame):  # noqa: ARG001
     """If the driver SIGTERMs us mid-run, still leave a valid final line."""
     _H["skipped"].append("terminated")
-    _emit(final=True)
+    if _H["value"] is None:
+        # killed before any fwd combo landed: _emit() would print nothing,
+        # so honor the one-JSON-line contract explicitly
+        print(json.dumps({
+            "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "parity_ok": False,
+            "details": {"error": "terminated before first fwd measurement",
+                        "skipped": _H["skipped"]}}), flush=True)
+    else:
+        _emit(final=True)
     os._exit(0)
 
 

@@ -21,6 +21,24 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import bench  # noqa: E402
 
 STAGES = {
+    # the headline path itself: on a fresh host the tunnel cold-compiles
+    # it slower than bench.py's 650s first-section cap (measured r4), so
+    # it MUST be primed here or the driver's round-end bench records 0
+    "euler1024": lambda t: bench._subproc_json(
+        bench._FWD_CODE.format(steps=49, solver="euler", batch=1024,
+                               use_pallas=True), timeout=t),
+    "euler2048": lambda t: bench._subproc_json(
+        bench._FWD_CODE.format(steps=49, solver="euler", batch=2048,
+                               use_pallas=True), timeout=t),
+    "fidelity": lambda t: bench._subproc_json(
+        "import json\n"
+        "from benchmarks.fidelity import trajectory_fidelity\n"
+        "e = trajectory_fidelity(solver='euler')\n"
+        "r = trajectory_fidelity(solver='rk4')\n"
+        "print(json.dumps({'ok': e['passes_1e-4'] and r['passes_1e-4']}))",
+        timeout=t),
+    "parity_bf16": lambda t: bench._subproc_json(
+        argv=["-m", "benchmarks.parity_check", "--bf16-only"], timeout=t),
     "rk4": lambda t: bench._subproc_json(
         bench._FWD_CODE.format(steps=13, solver="rk4", batch=2048,
                                use_pallas=True), timeout=t),
@@ -44,7 +62,9 @@ STAGES = {
 
 
 def main():
-    names = sys.argv[1:] or ["rk4", "dropout", "f32", "serve224"]
+    names = sys.argv[1:] or ["euler1024", "fidelity", "parity_bf16",
+                             "euler2048", "rk4", "dropout", "f32",
+                             "serve224"]
     for name in names:
         t0 = time.time()
         try:
