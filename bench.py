@@ -3,20 +3,37 @@
 
 Measures the BASELINE.json headline metric — images/sec/chip for the
 CIFAR-resolution ODE-ViT at NFE = 4*depth = 48 function evaluations
-(rk4 over a 13-point grid), bf16 compute, device-side normalization
-included (uint8 in, logits out). Model = the free-training CIFAR
-architecture (embed 192, heads 3, patch 4, 32x32; README.md:57 row) with
-100 classes. Target: >= 20_000 img/s/chip (BASELINE.md).
+(rk4 over a 13-point grid / euler over 49), bf16 compute, device-side
+normalization included (uint8 in, logits out). Model = the free-training
+CIFAR architecture (embed 192, heads 3, patch 4, 32x32; README.md:57
+row) with 100 classes. Target: >= 20_000 img/s/chip (BASELINE.md).
 
-Reporting contract (VERDICT r3 item 1): the headline JSON line is
-printed AS SOON AS the first throughput measurement lands (details:
-{"partial": true}), then re-printed — enriched with parity gates,
-trajectory fidelity, the training variant matrix, and serving numbers —
-as sections complete under a global wall-clock budget
-(ODEVIT_BENCH_BUDGET_S, default 1100 s). Sections that don't fit the
-budget are skipped and named in details.skipped; the process always
-exits 0, and the LAST printed JSON line is always the most complete
-headline. A driver timeout therefore still finds a valid line.
+Reporting contract (VERDICT r4 item 1 — the driver keeps only a
+2000-char tail of stdout and json-parses the LAST line in it):
+  * the LAST stdout line is always a COMPACT headline JSON object —
+    metric/value/unit/vs_baseline/parity_ok plus a details dict capped
+    to scalars (fidelity, parity errs, matrix counts, skip count, and
+    the details-file path). The emitter hard-caps the line at 1500
+    chars (falling back to a minimal line if ever exceeded) so it
+    survives the tail window; round 4's 3.5 kB enriched line did not.
+  * the FULL enriched record (train matrix, parity tensors, dropout
+    diagnostics, skipped names) is written to ``bench_details.json``
+    in the repo root on every emit.
+  * the headline is printed as soon as the first throughput lands
+    (details.partial=true), then re-printed as sections complete under
+    a global wall-clock budget (ODEVIT_BENCH_BUDGET_S, default 1450 s).
+    Sections that don't fit are counted in details.skipped (names in
+    the details file); the process always exits 0; SIGTERM still emits
+    a final line. A driver timeout therefore still finds a valid line.
+  * tests/test_bench_contract.py simulates the driver's exact read
+    (stubbed sections -> stdout tail(2000) -> parse last line).
+
+``per_rk_step_latency_ms`` is PINNED as milliseconds per solver
+FUNCTION EVALUATION: step_seconds / NFE * 1e3, NFE = 48 for every
+headline combo (euler x49 grid = 48 evals; rk4 x13 grid = 4*12 evals).
+Rounds 1-2 reported ms per rk4 *grid step* (4 evals): 3.60 ms/grid-step
+== 0.90 ms/eval, consistent with round 4's 0.8989 under this pinned
+definition. See BASELINE.md and the ARCHITECTURE.md ledger.
 
 Every measurement section runs in an ISOLATED interpreter: under the
 tunneled TPU runtime a long-lived client can reach a state where every
@@ -24,6 +41,7 @@ fresh remote compile 500s while new processes compile the same HLO fine.
 The host-fingerprinted persistent compile cache keeps isolation cheap.
 """
 
+import glob
 import json
 import os
 import signal
@@ -32,26 +50,64 @@ import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+_DETAILS_PATH = os.path.join(_REPO, "bench_details.json")
 _T0 = time.time()
 _BUDGET_S = float(os.environ.get("ODEVIT_BENCH_BUDGET_S", "1450"))
+_METRIC = "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16"
+_NFE = 48  # function evaluations per forward for every headline combo
 
 # mutable headline state; _emit() serializes it
 _H = {
     "value": None, "batch": None, "path": None, "step_s": None,
-    "grid_steps": 12,
     "parity": None, "dropout_parity": None, "fidelity": None,
     "train": {}, "serve": {}, "skipped": [],
 }
+
+
+def _cache_state() -> str:
+    """cold|warm: whether the persistent compile cache has entries
+    BEFORE any section runs (VERDICT r4 item 8 — makes records
+    interpretable without the round notes)."""
+    entries = glob.glob(os.path.join(_REPO, ".jax_cache", "host-*", "*"))
+    return "warm" if entries else "cold"
+
+
+_CACHE_STATE = _cache_state()
 
 
 def _remaining() -> float:
     return _BUDGET_S - (time.time() - _T0)
 
 
+def _full_record(final: bool) -> dict:
+    """The complete enriched record (everything round 4 inlined into
+    stdout); written to bench_details.json, never printed."""
+    return {
+        "partial": not final,
+        "cache_state": _CACHE_STATE,
+        "parity": _H["parity"],
+        "dropout_parity": _H["dropout_parity"],
+        "trajectory_fidelity": _H["fidelity"],
+        "batch": _H["batch"],
+        "path": _H["path"],
+        "per_rk_step_latency_ms":
+            round(_H["step_s"] / _NFE * 1e3, 4) if _H["step_s"] else None,
+        "per_rk_step_latency_def": "ms per solver function evaluation "
+                                   "(step_s / NFE, NFE=48)",
+        "nfe": _NFE,
+        "budget_s": _BUDGET_S,
+        "elapsed_s": round(time.time() - _T0, 1),
+        **_H["train"],
+        **_H["serve"],
+        "skipped": list(_H["skipped"]),
+    }
+
+
 def _emit(final: bool = False) -> None:
-    """Print the headline JSON line from current state. Called after the
-    first throughput lands and again after every enrichment; the last
-    line printed is the most complete one."""
+    """Write the full record to bench_details.json and print the COMPACT
+    headline JSON line. Called after the first throughput lands and
+    again after every enrichment; the last line printed is the most
+    complete one, and it must fit the driver's 2000-char stdout tail."""
     if _H["value"] is None:
         return
     parity = _H["parity"] or {}
@@ -65,46 +121,74 @@ def _emit(final: bool = False) -> None:
                  and bool(fid) and "error" not in fid)
     parity_ok = (gates_ran and parity.get("ok", False)
                  and dropout.get("ok", False) and fid.get("ok", False))
+
+    full = _full_record(final)
+    try:
+        with open(_DETAILS_PATH, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # details file is best-effort; the stdout line is the record
+
+    matrix = _H["train"].get("train_matrix") or {}
+    n_ok = sum(1 for v in matrix.values()
+               if isinstance(v, dict) and "images_per_sec" in v)
     details = {
         "partial": not final,
-        "parity": parity,
-        "dropout_parity": dropout,
-        "trajectory_fidelity": fid,
         "batch": _H["batch"],
         "path": _H["path"],
-        "per_rk_step_latency_ms":
-            round(_H["step_s"] / _H["grid_steps"] * 1e3, 4)
-            if _H["step_s"] else None,
-        "nfe": 48,
+        "per_rk_step_latency_ms": full["per_rk_step_latency_ms"],
+        "nfe": _NFE,
+        "cache_state": _CACHE_STATE,
         "budget_s": _BUDGET_S,
-        "elapsed_s": round(time.time() - _T0, 1),
-        **_H["train"],
-        **_H["serve"],
+        "elapsed_s": full["elapsed_s"],
+        "fidelity_euler": fid.get("euler_max_rel_err"),
+        "fidelity_rk4": fid.get("rk4_max_rel_err"),
+        "parity_fwd_rel_l2": parity.get("fwd_rel_l2"),
+        "parity_bwd_rel_l2": parity.get("bwd_rel_l2"),
+        "parity_bwd_rel_l2_f32": parity.get("bwd_rel_l2_f32_highest"),
+        "dropout_ok": dropout.get("ok"),
+        "train_images_per_sec": _H["train"].get("train_images_per_sec"),
+        "train_mfu": _H["train"].get("train_mfu"),
+        "train_matrix_ok": f"{n_ok}/{len(matrix)}" if matrix else None,
+        "serve224_images_per_sec":
+            _H["serve"].get("serve224_images_per_sec"),
+        "skipped": len(_H["skipped"]),
+        "details_file": "bench_details.json",
     }
-    if _H["skipped"]:
-        details["skipped"] = list(_H["skipped"])
-    print(json.dumps({
-        "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
+    line = json.dumps({
+        "metric": _METRIC,
         "value": round(_H["value"], 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(_H["value"] / 20000.0, 4),
         "parity_ok": bool(parity_ok),
         "details": details,
-    }), flush=True)
+    })
+    if len(line) > 1500:  # must survive the driver's 2000-char tail
+        line = json.dumps({
+            "metric": _METRIC,
+            "value": round(_H["value"], 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(_H["value"] / 20000.0, 4),
+            "parity_ok": bool(parity_ok),
+            "details": {"details_file": "bench_details.json"},
+        })
+    print(line, flush=True)
+
+
+def _emit_failure(error: str) -> None:
+    """The one-JSON-line contract when no throughput landed at all."""
+    print(json.dumps({
+        "metric": _METRIC, "value": 0.0, "unit": "images/sec/chip",
+        "vs_baseline": 0.0, "parity_ok": False,
+        "details": {"error": error, "cache_state": _CACHE_STATE,
+                    "skipped": len(_H["skipped"])}}), flush=True)
 
 
 def _on_term(signum, frame):  # noqa: ARG001
     """If the driver SIGTERMs us mid-run, still leave a valid final line."""
     _H["skipped"].append("terminated")
     if _H["value"] is None:
-        # killed before any fwd combo landed: _emit() would print nothing,
-        # so honor the one-JSON-line contract explicitly
-        print(json.dumps({
-            "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
-            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
-            "parity_ok": False,
-            "details": {"error": "terminated before first fwd measurement",
-                        "skipped": _H["skipped"]}}), flush=True)
+        _emit_failure("terminated before first fwd measurement")
     else:
         _emit(final=True)
     os._exit(0)
@@ -139,6 +223,12 @@ def _section(name: str, cap: float, reserve: float, fn) -> dict | None:
     except Exception as e:  # noqa: BLE001
         return {"error": f"{name}: {str(e)[:200]}"}
 
+
+# ---------------------------------------------------------------------
+# Section snippets. Module-level constants so scripts/prime_bench.py can
+# pre-compile the EXACT same programs (ADVICE r4: inlined copies drifted
+# and serve224 priming raised AttributeError every run).
+# ---------------------------------------------------------------------
 
 _FWD_CODE = """
 from odevit_tpu.utils.compile_cache import enable_persistent_cache
@@ -178,121 +268,25 @@ print(json.dumps({{"ips": {batch} * iters / dt,
                    "step_s": dt / iters}}))
 """
 
+_FIDELITY_CODE = """
+import json
+from benchmarks.fidelity import trajectory_fidelity
+e = trajectory_fidelity(solver='euler')
+r = trajectory_fidelity(solver='rk4')
+print(json.dumps({'ok': e['passes_1e-4'] and r['passes_1e-4'],
+  'euler_max_rel_err': float(f"{e['relative_error']:.3g}"),
+  'rk4_max_rel_err': float(f"{r['relative_error']:.3g}")}))
+"""
 
-def _fwd_combo(name: str, batch: int, allowed: float) -> None:
-    solver, steps = (("rk4", 13) if "rk4" in name else ("euler", 49))
-    code = _FWD_CODE.format(steps=steps, solver=solver, batch=batch,
-                            use_pallas=name.startswith("pallas"))
-    r = _subproc_json(code, timeout=allowed)
-    if _H["value"] is None or r["ips"] > _H["value"]:
-        _H.update(value=r["ips"], batch=batch, path=name,
-                  step_s=r["step_s"], grid_steps=steps - 1)
+_DROPOUT_CODE = """
+import json
+from benchmarks.tpu_dropout_check import run_checks
+r = run_checks()
+print(json.dumps({k: v for k, v in r.items()
+                  if not isinstance(v, (list, dict))}))
+"""
 
-
-def main():
-    signal.signal(signal.SIGTERM, _on_term)
-
-    # --- Section A: fwd throughput (THE headline; print ASAP) ----------
-    # Combo ORDER is cold-cache survival policy, not taste: eulerx49-b1024
-    # is the path every in-window driver record used (r1 23,710 / r2
-    # 23,582 / r3-final 23,750) and the only one whose COLD remote compile
-    # reliably fits a first-section window. rk4x13-b2048 measured the r3
-    # quiet-chip best (24,162-class) but takes >600s to compile cold
-    # (measured twice this round on a quiet host) — it may only run once
-    # the headline is already on the record, and effectively requires a
-    # warm cache. Each combo fails independently; the XLA path runs only
-    # as a fallback when every Pallas combo failed (it's never the winner
-    # and costs ~3 min of cold compile).
-    combos = [("pallas-eulerx49", 1024), ("pallas-rk4x13", 2048),
-              ("pallas-eulerx49", 2048)]
-    for i, (name, batch) in enumerate(combos):
-        # first combo gets a generous cold-compile window; later combos
-        # only run with >=700s left for the parity/fidelity gates
-        cap, reserve = (650.0, 60.0) if i == 0 else (250.0, 700.0)
-        err = _section(f"fwd:{name}-b{batch}", cap, reserve,
-                       lambda a, n=name, b=batch: _fwd_combo(n, b, a))
-        if isinstance(err, dict) and "error" in err:
-            print(f"# {err['error']}", file=sys.stderr, flush=True)
-        if i == 0:
-            _emit()  # partial headline on the record immediately
-    if _H["value"] is None:
-        _section("fwd:xla-rk4x13-b2048", 400.0, 300.0,
-                 lambda a: _fwd_combo("xla-rk4x13", 2048, a))
-    if _H["value"] is None:
-        # nothing measured at all — still honor the one-JSON-line
-        # contract so the driver records the failure, not a blank
-        print(json.dumps({
-            "metric": "images/sec/chip ODE-ViT CIFAR-100 fwd @ NFE=48 bf16",
-            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
-            "parity_ok": False,
-            "details": {"error": "all fwd combos failed",
-                        "skipped": _H["skipped"]}}), flush=True)
-        return
-    _emit()
-
-    # --- Section B: trajectory fidelity (BASELINE.md north star; the
-    # cheapest gate, so it lands even on a cold compile cache) ----------
-    r = _section("fidelity", 260.0, 120.0, lambda a: _subproc_json(
-        "import json\n"
-        "from benchmarks.fidelity import trajectory_fidelity\n"
-        "e = trajectory_fidelity(solver='euler')\n"
-        "r = trajectory_fidelity(solver='rk4')\n"
-        "print(json.dumps({'ok': e['passes_1e-4'] and r['passes_1e-4'],\n"
-        "  'euler_max_rel_err': float(f\"{e['relative_error']:.3g}\"),\n"
-        "  'rk4_max_rel_err': float(f\"{r['relative_error']:.3g}\")}))",
-        timeout=a))
-    if r is not None:
-        _H["fidelity"] = r
-        _emit()
-
-    # --- Section C: compiled-kernel parity gates (bf16 fwd+bwd, then
-    # the f32-highest pair as its own budgeted section) ------------------
-    r = _section("parity_bf16", 480.0, 150.0, lambda a: _subproc_json(
-        argv=["-m", "benchmarks.parity_check", "--bf16-only"], timeout=a))
-    if r is not None:
-        _H["parity"] = r
-        _emit()
-
-    # --- Section D: in-kernel dropout semantics gate --------------------
-    r = _section("dropout", 260.0, 90.0, lambda a: _subproc_json(
-        "import json\n"
-        "from benchmarks.tpu_dropout_check import run_checks\n"
-        "r = run_checks()\n"
-        "print(json.dumps({k: v for k, v in r.items()\n"
-        "                  if not isinstance(v, (list, dict))}))",
-        timeout=a))
-    if r is not None:
-        _H["dropout_parity"] = r
-        _emit()
-
-    # --- Section D2: f32+highest kernel parity ---------------------------
-    r = _section("parity_f32", 360.0, 60.0, lambda a: _subproc_json(
-        argv=["-m", "benchmarks.parity_check", "--f32-only"], timeout=a))
-    if r is not None and "error" not in r:
-        base = dict(_H["parity"] or {})
-        base["bwd_rel_l2_f32_highest"] = r.get("bwd_rel_l2_f32_highest")
-        base["ok"] = bool(base.get("ok", False) and r.get("ok", False))
-        _H["parity"] = base
-        _emit()
-
-    # --- Section E: training variant matrix (details only) -------------
-    def run_matrix(allowed):
-        from benchmarks.train_speed import variant_matrix
-        matrix = variant_matrix(budget_s=allowed - 30.0, isolate=True)
-        free = matrix.get("free_b1024", {})
-        return {"train_images_per_sec": free.get("images_per_sec"),
-                "train_step_ms": free.get("step_ms"),
-                "train_tflops_per_sec": free.get("tflops_per_sec"),
-                "train_mfu": free.get("mfu"),
-                "train_matrix": matrix}
-
-    r = _section("train_matrix", 10000.0, 170.0, run_matrix)
-    if r is not None:
-        _H["train"] = r if "error" not in r else {"train_error": r["error"]}
-        _emit()
-
-    # --- Section F: 224px serving (ratio-1 student, VMEM plan) ---------
-    r = _section("serve224", 240.0, 20.0, lambda a: _subproc_json("""
+_SERVE224_CODE = """
 from odevit_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 import json, time
@@ -325,7 +319,114 @@ for _ in range(10):
     best = min(best, time.perf_counter() - t0)
 print(json.dumps({"ips": 64 / best, "ms": best * 1e3,
                   "kib": opts.get("xla_tpu_scoped_vmem_limit_kib")}))
-""", timeout=a))
+"""
+
+
+def _fwd_combo(name: str, batch: int, allowed: float) -> None:
+    solver, steps = (("rk4", 13) if "rk4" in name else ("euler", 49))
+    code = _FWD_CODE.format(steps=steps, solver=solver, batch=batch,
+                            use_pallas=name.startswith("pallas"))
+    r = _subproc_json(code, timeout=allowed)
+    if _H["value"] is None or r["ips"] > _H["value"]:
+        _H.update(value=r["ips"], batch=batch, path=name,
+                  step_s=r["step_s"])
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_term)
+
+    # --- Section A: fwd throughput (THE headline; print ASAP) ----------
+    # Combo ORDER is cold-cache survival policy, not taste: eulerx49-b1024
+    # is the path every in-window driver record used (r1 23,710 / r2
+    # 23,582 / r3-final 23,750) and the only one whose COLD remote compile
+    # reliably fits a first-section window. rk4x13-b2048 measured the r3
+    # quiet-chip best (24,162-class) but takes >600s to compile cold
+    # (measured twice in round 4 on a quiet host) — it may only run once
+    # the headline is already on the record, and effectively requires a
+    # warm cache. Each combo fails independently; the XLA path runs only
+    # as a fallback when every Pallas combo failed (it's never the winner
+    # and costs ~3 min of cold compile).
+    combos = [("pallas-eulerx49", 1024), ("pallas-rk4x13", 2048),
+              ("pallas-eulerx49", 2048)]
+    for i, (name, batch) in enumerate(combos):
+        # first combo gets a generous cold-compile window; later combos
+        # only run with >=700s left for the parity/fidelity gates
+        cap, reserve = (650.0, 60.0) if i == 0 else (250.0, 700.0)
+        err = _section(f"fwd:{name}-b{batch}", cap, reserve,
+                       lambda a, n=name, b=batch: _fwd_combo(n, b, a))
+        if isinstance(err, dict) and "error" in err:
+            print(f"# {err['error']}", file=sys.stderr, flush=True)
+        if i == 0:
+            _emit()  # partial headline on the record immediately
+    if _H["value"] is None:
+        _section("fwd:xla-rk4x13-b2048", 400.0, 300.0,
+                 lambda a: _fwd_combo("xla-rk4x13", 2048, a))
+    if _H["value"] is None:
+        # nothing measured at all — still honor the one-JSON-line
+        # contract so the driver records the failure, not a blank
+        _emit_failure("all fwd combos failed")
+        return
+    _emit()
+
+    # --- Section B: trajectory fidelity (BASELINE.md north star; the
+    # cheapest gate, so it lands even on a cold compile cache) ----------
+    r = _section("fidelity", 260.0, 120.0,
+                 lambda a: _subproc_json(_FIDELITY_CODE, timeout=a))
+    if r is not None:
+        _H["fidelity"] = r
+        _emit()
+
+    # --- Section C: compiled-kernel parity gates (bf16 fwd+bwd, then
+    # the f32-highest pair as its own budgeted section) ------------------
+    r = _section("parity_bf16", 480.0, 150.0, lambda a: _subproc_json(
+        argv=["-m", "benchmarks.parity_check", "--bf16-only"], timeout=a))
+    if r is not None:
+        _H["parity"] = r
+        _emit()
+
+    # --- Section D: in-kernel dropout semantics gate --------------------
+    r = _section("dropout", 260.0, 90.0,
+                 lambda a: _subproc_json(_DROPOUT_CODE, timeout=a))
+    if r is not None:
+        _H["dropout_parity"] = r
+        _emit()
+
+    # --- Section D2: f32+highest kernel parity ---------------------------
+    r = _section("parity_f32", 360.0, 60.0, lambda a: _subproc_json(
+        argv=["-m", "benchmarks.parity_check", "--f32-only"], timeout=a))
+    if r is not None and "error" not in r:
+        base = dict(_H["parity"] or {})
+        base["bwd_rel_l2_f32_highest"] = r.get("bwd_rel_l2_f32_highest")
+        base["ok"] = bool(base.get("ok", False) and r.get("ok", False))
+        _H["parity"] = base
+        _emit()
+
+    # --- Section E: training variant matrix (details only) -------------
+    # HEADLINE matrix = 6 representative entries (VERDICT r4 item 3:
+    # round 4 listed 12 and recorded 3); the other variants live in
+    # `python -m benchmarks.train_speed --matrix --full` builder-side.
+    # Each entry is additionally capped (per_entry_cap_s) so one slow
+    # compile cannot eat the whole section (round 4's tsref_b256_cached
+    # burned 312 s and everything after it was skipped).
+    def run_matrix(allowed):
+        from benchmarks.train_speed import variant_matrix
+        matrix = variant_matrix(budget_s=allowed - 30.0, isolate=True,
+                                headline=True, per_entry_cap_s=170.0)
+        free = matrix.get("free_b1024", {})
+        return {"train_images_per_sec": free.get("images_per_sec"),
+                "train_step_ms": free.get("step_ms"),
+                "train_tflops_per_sec": free.get("tflops_per_sec"),
+                "train_mfu": free.get("mfu"),
+                "train_matrix": matrix}
+
+    r = _section("train_matrix", 10000.0, 170.0, run_matrix)
+    if r is not None:
+        _H["train"] = r if "error" not in r else {"train_error": r["error"]}
+        _emit()
+
+    # --- Section F: 224px serving (ratio-1 student, VMEM plan) ---------
+    r = _section("serve224", 240.0, 20.0,
+                 lambda a: _subproc_json(_SERVE224_CODE, timeout=a))
     if r is not None:
         _H["serve"] = (
             {"serve224_error": r["error"]} if "error" in r else

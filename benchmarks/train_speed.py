@@ -275,7 +275,9 @@ def bench_macaron(batch=1024, iters=6, fused=True):
                           best)}
 
 
-def variant_matrix(budget_s: float = 1500.0, isolate: bool = False) -> dict:
+def variant_matrix(budget_s: float = 1500.0, isolate: bool = False,
+                   headline: bool = False,
+                   per_entry_cap_s: float | None = None) -> dict:
     """The driver-visible training variant matrix (VERDICT r2 item 2):
     every fused training family + the TS-Base flax baseline, each with
     achieved TFLOP/s and MFU. Entries degrade to an error/skip record
@@ -283,8 +285,13 @@ def variant_matrix(budget_s: float = 1500.0, isolate: bool = False) -> dict:
     a fresh interpreter (``--variant`` mode below): under the tunneled
     runtime a long-lived client process can reach a state where every
     fresh remote compile 500s while new processes compile the same HLO
-    fine — the persistent compile cache keeps isolation cheap."""
-    specs = _variant_specs()
+    fine — the persistent compile cache keeps isolation cheap.
+
+    ``headline=True`` restricts to the 6-entry bench.py matrix (VERDICT
+    r4 item 3: every listed entry must land a number in the record);
+    ``per_entry_cap_s`` additionally caps each entry's subprocess so one
+    cold compile cannot eat the rest of the section's budget."""
+    specs = _variant_specs(headline=headline)
     out = {}
     t0 = time.time()
     keep = ("images_per_sec", "step_ms", "tflops_per_sec", "mfu")
@@ -300,11 +307,12 @@ def variant_matrix(budget_s: float = 1500.0, isolate: bool = False) -> dict:
         # entry must not blow the caller's global wall-clock window
         # (round 3's driver bench timed out exactly this way)
         left = budget_s - (time.time() - t0)
+        cap = min(2400.0, left + 60.0, per_entry_cap_s or 2400.0)
         r = subprocess.run(
             [sys.executable, "-m", "benchmarks.train_speed",
              "--variant", name],
             capture_output=True, text=True,
-            timeout=max(60.0, min(2400.0, left + 60.0)), cwd=repo)
+            timeout=max(60.0, cap), cwd=repo)
         for line in reversed(r.stdout.strip().splitlines()):
             if line.strip().startswith("{"):
                 return _json.loads(line)
@@ -332,28 +340,37 @@ def variant_matrix(budget_s: float = 1500.0, isolate: bool = False) -> dict:
     return out
 
 
-def _variant_specs():
+def _variant_specs(headline: bool = False):
     """(name, thunk) list shared by variant_matrix and --variant.
-    Ordered so a bench time-budget truncation drops the least
-    informative entries first (one representative per family leads)."""
-    return [
+
+    The first six entries are the HEADLINE matrix bench.py records (one
+    representative per training family: free, dropout, L2-attention,
+    macaron, TS-Base distill, cached-teacher distill at the large
+    batch); the rest are builder-side extras (``--matrix --full``).
+    Ordered so a time-budget truncation drops the least informative
+    entries first."""
+    specs = [
         ("free_b1024", lambda: bench_free(batch=1024, iters=6, fused=True)),
         ("tsbase_b64", lambda: bench_distill(batch=64, iters=5)),
+        ("drop03_b1024", lambda: bench_free(batch=1024, iters=6,
+                                            fused=True, drop=0.3)),
+        ("l2_b1024", lambda: bench_l2(batch=1024, iters=6)),
+        ("macaron_b1024", lambda: bench_macaron(batch=1024, iters=6)),
+        ("tsbase_b256_cached", lambda: bench_distill(batch=256, iters=4,
+                                                     cached=True)),
+    ]
+    if headline:
+        return specs
+    return specs + [
         ("tsref_b64", lambda: bench_distill(batch=64, iters=5,
                                             mlp_ratio=1.0)),
         ("tsref_b256_cached", lambda: bench_distill(batch=256, iters=4,
                                                     cached=True,
                                                     mlp_ratio=1.0)),
-        ("drop03_b1024", lambda: bench_free(batch=1024, iters=6,
-                                            fused=True, drop=0.3)),
-        ("l2_b1024", lambda: bench_l2(batch=1024, iters=6)),
-        ("macaron_b1024", lambda: bench_macaron(batch=1024, iters=6)),
         ("tsbase_flax_b64", lambda: bench_distill(batch=64, iters=5,
                                                   fused=False)),
         ("tsbase_b64_cached", lambda: bench_distill(batch=64, iters=5,
                                                     cached=True)),
-        ("tsbase_b256_cached", lambda: bench_distill(batch=256, iters=4,
-                                                     cached=True)),
         ("tsbase_b128", lambda: bench_distill(batch=128, iters=5)),
         ("tsbase_b256", lambda: bench_distill(batch=256, iters=4)),
     ]
@@ -374,7 +391,9 @@ if __name__ == "__main__":
     ap.add_argument("--l2", action="store_true")
     ap.add_argument("--macaron", action="store_true")
     ap.add_argument("--matrix", action="store_true",
-                    help="full train variant matrix (the BENCH record)")
+                    help="headline train variant matrix (the BENCH record)")
+    ap.add_argument("--full", action="store_true",
+                    help="with --matrix: include the builder-side extras")
     ap.add_argument("--variant", type=str, default=None,
                     help="run ONE matrix entry by name (isolation mode)")
     a = ap.parse_args()
@@ -385,7 +404,8 @@ if __name__ == "__main__":
         print(json.dumps(fn()))
         sys.exit(0)
     if a.matrix:
-        print(json.dumps(variant_matrix(isolate=True), indent=1))
+        print(json.dumps(variant_matrix(isolate=True,
+                                        headline=not a.full), indent=1))
         sys.exit(0)
     if a.l2:
         print(json.dumps(bench_l2(batch=a.batch, iters=a.iters,
