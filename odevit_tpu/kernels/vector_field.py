@@ -202,10 +202,11 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                attn_drop: float = 0.0, proj_drop: float = 0.0,
                mlp_drop: float = 0.0, has_seed: bool = False,
                emit_masks: bool = False, jas_kk: int = 0,
-               has_base: bool = False):
+               has_base: bool = False, emit_resid: bool = False):
     # ref order: [seed (if has_seed)], [qkvb, outb (if has_bias)],
     #            [base (if has_base)] (inputs),
     #            dx_ref, [attn_ref (if emit_attn)], [jas_ref (if jas_k)],
+    #            [rqkv_ref, rh1_ref (if emit_resid)],
     #            [mask refs (if emit_masks)] (outputs), ctx_scratch
     refs = list(refs)
     seed_ref = refs.pop(0) if has_seed else None
@@ -215,6 +216,8 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     dx_ref = refs.pop(0)
     attn_ref = refs.pop(0) if emit_attn else None
     jas_ref = refs.pop(0) if jas_kk else None
+    rqkv_ref = refs.pop(0) if emit_resid else None
+    rh1_ref = refs.pop(0) if emit_resid else None
     if emit_masks:
         mh_ref, mmo_ref, mao_ref, mp_ref = refs[:4]
         refs = refs[4:]
@@ -236,6 +239,11 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     # MLP branch: the f32 hidden lives only in registers/VMEM here.
     # (weights arrive pre-cast to the compute dtype)
     h = jnp.dot(cn_m, w1_ref[:], preferred_element_type=jnp.float32)
+    if emit_resid:
+        # pre-GELU hidden, compute-dtype: the stash-path backward reads
+        # it instead of recomputing the fc1 matmul (residual stashing —
+        # trades HBM traffic for recompute FLOPs)
+        rh1_ref[:] = h.astype(dtype)
     h = _gelu(h).astype(dtype)
     if mlp_drop > 0.0:
         mask_h = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
@@ -255,6 +263,11 @@ def _vf_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     if qkv_bias is not None:
         qkv32 = qkv32 + qkv_bias
     qkv = qkv32.astype(dtype).reshape(block_b, n_pad, 3 * d)
+    if emit_resid:
+        # post-bias, compute-dtype-rounded qkv — EXACTLY the tensor the
+        # backward's in-kernel recompute produces (it also rounds qkv32
+        # to the compute dtype before the head slicing)
+        rqkv_ref[:] = qkv.reshape(rows, 3 * d)
 
     # key mask: padded tokens never receive attention mass. Multiplicative
     # (0/1 on the exp'd scores) — jnp.where-style additive masks crash the
@@ -377,7 +390,7 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                     seed=None, attn_drop: float = 0.0,
                     proj_drop: float = 0.0, mlp_drop: float = 0.0,
                     emit_masks: bool = False, jas_kk: int = 0,
-                    base=None):
+                    base=None, emit_resid: bool = False):
     b, n, d = x.shape
     dh = w1.shape[-1]
     n_real = n_real or n
@@ -410,7 +423,8 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                                proj_drop=proj_drop if has_seed else 0.0,
                                mlp_drop=mlp_drop if has_seed else 0.0,
                                has_seed=has_seed, emit_masks=emit_masks,
-                               jas_kk=jas_kk, has_base=base is not None)
+                               jas_kk=jas_kk, has_base=base is not None,
+                               emit_resid=emit_resid)
     mat = lambda i: (0, 0)
 
     out_specs = [pl.BlockSpec((rows, d), lambda i: (i, 0),
@@ -429,6 +443,17 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(
             (b, num_heads, JAS_ROWS, n_pad), jnp.float32))
+    if emit_resid:
+        out_specs += [
+            pl.BlockSpec((rows, 3 * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, dh), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((b * n_pad, 3 * d), x.dtype),
+            jax.ShapeDtypeStruct((b * n_pad, dh), x.dtype),
+        ]
     if emit_masks:
         out_specs += [
             pl.BlockSpec((rows, dh), lambda i: (i, 0),
@@ -501,6 +526,11 @@ def _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     if jas_kk:
         # query rows live on the LAST axis here; slice padded rows off
         results.append(out.pop(0)[:, :, :, :n])
+    if emit_resid:
+        # residuals stay in the PADDED 2-D row layout [b*n_pad, .]: the
+        # backward re-pads x to the same n_pad, so rows align without a
+        # slice/re-pad round trip
+        results.append((out.pop(0), out.pop(0)))
     if emit_masks:
         results.append(tuple(out))      # (mask_h, mask_mo, mask_ao, mask_p)
     return results[0] if len(results) == 1 else tuple(results)
@@ -617,14 +647,56 @@ def _fused_vf_bwd(num_heads, scaler, block_b, n_real, residuals, g):
 fused_vf.defvjp(_fused_vf_fwd, _fused_vf_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_vf_stash(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                   num_heads: int, scaler: float, block_b: int,
+                   n_real: int = 0):
+    """fused_vf with RESIDUAL STASHING (VERDICT r4 item 4): the forward
+    additionally writes its post-bias compute-dtype qkv [B*n_pad, 3D] and
+    pre-GELU hidden h1 [B*n_pad, dh] to HBM as extra vjp residuals, and
+    the backward skips the two recompute matmuls (6*d^2 + 2*d*dh
+    FLOPs/row, ~21%% of the backward kernels' compute at TS-Base) in
+    exchange for the write+read HBM traffic. Deterministic softmax path
+    only. qkv is exact (the recompute also rounds to the compute dtype);
+    h1 matches to compute-dtype rounding (exact when dtype is f32 —
+    on-chip bf16 runs see ~1e-3-relative deviation in the GELU-grad
+    factor), so this variant is opt-in (see fast_steps stash flags)."""
+    out = _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                          w1, w2, num_heads=num_heads, scaler=scaler,
+                          block_b=block_b, n_real=n_real, emit_resid=True)
+    return out[0]
+
+
+def _fused_vf_stash_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
+                        w2, num_heads, scaler, block_b, n_real):
+    dx, (rqkv, rh1) = _pallas_forward(
+        x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+        num_heads=num_heads, scaler=scaler, block_b=block_b,
+        n_real=n_real, emit_resid=True)
+    return dx, (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+                rqkv, rh1)
+
+
+def _fused_vf_stash_bwd(num_heads, scaler, block_b, n_real, residuals, g):
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, rqkv, rh1 = residuals
+    return pallas_vf_bwd(*tensors, g, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real,
+                         resid_qkv=rqkv, resid_h1=rh1)
+
+
+fused_vf_stash.defvjp(_fused_vf_stash_fwd, _fused_vf_stash_bwd)
+
+
 def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
                          scaler: float, block_b: int = 16,
                          use_pallas: bool = True, n_real: int = 0,
-                         vmem_budget=None):
+                         vmem_budget=None, stash: bool = False):
     """Apply the fused kernel (or its XLA twin) from a ParallelVectorField
     params subtree (params['vf']). ``vmem_budget`` overrides the tile
     chooser's VMEM budget — training steps pass their jit's raised
-    scoped-limit plan so forward kernels tile as large as it allows."""
+    scoped-limit plan so forward kernels tile as large as it allows.
+    ``stash=True`` selects the residual-stashing variant (Pallas only)."""
     args = (x,
             vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
             vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
@@ -634,7 +706,10 @@ def fused_vf_from_params(x, vf_params: Dict[str, Any], *, num_heads: int,
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
                           num_heads, requested=block_b,
-                          budget_override=vmem_budget)
+                          budget_override=vmem_budget, emit_resid=stash,
+                          itemsize=jnp.dtype(x.dtype).itemsize)
+        if stash:
+            return fused_vf_stash(*args, num_heads, scaler, bb, n_real)
         return fused_vf(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real)
@@ -652,7 +727,8 @@ def fused_euler_step_from_params(y, vf_params, *, num_heads: int,
     bb = auto_block_b(y.shape[0], y.shape[1], y.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
                       num_heads, requested=block_b, extra_states=1,
-                      budget_override=vmem_budget)
+                      budget_override=vmem_budget,
+                      itemsize=jnp.dtype(y.dtype).itemsize)
     return _pallas_forward(
         y, vf_params["norm_attn"]["scale"], vf_params["norm_attn"]["bias"],
         vf_params["norm_mlp"]["scale"], vf_params["norm_mlp"]["bias"],
@@ -731,7 +807,8 @@ def fused_euler_chain_from_params(y, vf_params, *, num_heads: int,
     if n_pad != n:
         y = jnp.pad(y, ((0, 0), (0, n_pad - n), (0, 0)))
     bb = auto_block_b(b, n, d, dh, num_heads, requested=block_b,
-                      extra_states=1, budget_override=vmem_budget)
+                      extra_states=1, budget_override=vmem_budget,
+                      itemsize=jnp.dtype(y.dtype).itemsize)
     rows = bb * n_pad
     mat = lambda i: (0, 0)
     wqkv, wout, w1, w2 = (
@@ -792,7 +869,8 @@ def fused_rk4_step_from_params(y, vf_params, *, num_heads: int,
     bb = auto_block_b(y.shape[0], y.shape[1], y.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
                       num_heads, requested=block_b, extra_states=2,
-                      budget_override=vmem_budget)
+                      budget_override=vmem_budget,
+                      itemsize=jnp.dtype(y.dtype).itemsize)
 
     def stage(y_i, base, c):
         return _pallas_forward(
@@ -863,7 +941,8 @@ def fused_vf_attn_from_params(x, vf_params, *, num_heads: int,
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
                           num_heads, emit_attn=True, requested=block_b,
-                          budget_override=vmem_budget)
+                          budget_override=vmem_budget,
+                          itemsize=jnp.dtype(x.dtype).itemsize)
         return fused_vf_attn(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, return_attn=True)
@@ -911,6 +990,46 @@ def _fused_vf_jasmin_bwd(num_heads, scaler, block_b, n_real, jas_k,
 
 
 fused_vf_jasmin.defvjp(_fused_vf_jasmin_fwd, _fused_vf_jasmin_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_vf_jasmin_stash(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
+                          w2, num_heads: int, scaler: float, block_b: int,
+                          n_real: int, jas_k: int):
+    """fused_vf_jasmin with residual stashing (see fused_vf_stash): the
+    JaSMin-tail training evaluations keep the in-VMEM order statistics
+    AND skip the backward's qkv/h1 recompute matmuls."""
+    out = _pallas_forward(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                          w1, w2, num_heads=num_heads, scaler=scaler,
+                          block_b=block_b, n_real=n_real,
+                          jas_kk=max(jas_k, 1) + 1, emit_resid=True)
+    return out[0], out[1]
+
+
+def _fused_vf_jasmin_stash_fwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout,
+                               w1, w2, num_heads, scaler, block_b, n_real,
+                               jas_k):
+    dx, stats, (rqkv, rh1) = _pallas_forward(
+        x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
+        num_heads=num_heads, scaler=scaler, block_b=block_b,
+        n_real=n_real, jas_kk=max(jas_k, 1) + 1, emit_resid=True)
+    return (dx, stats), (x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
+                         w2, stats, rqkv, rh1)
+
+
+def _fused_vf_jasmin_stash_bwd(num_heads, scaler, block_b, n_real, jas_k,
+                               residuals, g):
+    from odevit_tpu.kernels.vector_field_bwd import pallas_vf_bwd
+    *tensors, stats, rqkv, rh1 = residuals
+    g_dx, g_jas = g
+    return pallas_vf_bwd(*tensors, g_dx, num_heads=num_heads,
+                         scaler=scaler, block_b=block_b, n_real=n_real,
+                         g_jas=g_jas, jas_k=jas_k, jas_stats=stats,
+                         resid_qkv=rqkv, resid_h1=rh1)
+
+
+fused_vf_jasmin_stash.defvjp(_fused_vf_jasmin_stash_fwd,
+                             _fused_vf_jasmin_stash_bwd)
 
 
 @functools.partial(jax.custom_vjp,
@@ -968,11 +1087,13 @@ def fused_vf_jasmin_from_params(x, vf_params, *, num_heads: int,
                                 scaler: float, jas_k: int,
                                 block_b: int = 16, use_pallas: bool = True,
                                 n_real: int = 0, seed=None,
-                                drops=(0.0, 0.0, 0.0), vmem_budget=None):
+                                drops=(0.0, 0.0, 0.0), vmem_budget=None,
+                                stash: bool = False):
     """(dx, jas_stats) through the fused kernel (or the XLA twin +
     jasmin_order_stats for non-Pallas paths). Requires
     n >= max(jas_k, 1) + 1 real tokens (callers gate on this and fall
-    back to the map-emitting path for tiny sequences)."""
+    back to the map-emitting path for tiny sequences). ``stash=True``
+    selects the residual-stashing variant (Pallas, deterministic only)."""
     from odevit_tpu.losses.jasmin import jasmin_order_stats
     args = _vf_args(x, vf_params)
     has_drop = any(d > 0.0 for d in drops)
@@ -980,11 +1101,16 @@ def fused_vf_jasmin_from_params(x, vf_params, *, num_heads: int,
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
                           num_heads, emit_jas=True, requested=block_b,
-                          budget_override=vmem_budget)
+                          budget_override=vmem_budget,
+                          emit_resid=stash and not has_drop,
+                          itemsize=jnp.dtype(x.dtype).itemsize)
         if has_drop:
             return fused_vf_jasmin_dropout(
                 *args, seed, num_heads, scaler, bb,
                 n_real or x.shape[1], jas_k, *drops)
+        if stash:
+            return fused_vf_jasmin_stash(*args, num_heads, scaler, bb,
+                                         n_real or x.shape[1], jas_k)
         return fused_vf_jasmin(*args, num_heads, scaler, bb,
                                n_real or x.shape[1], jas_k)
     assert not has_drop, "XLA jasmin path is deterministic-only"
@@ -1144,9 +1270,14 @@ BWD_VMEM_BUDGET_BIG = 62 * 1024 * 1024
 
 
 def _bwd_min_bytes(n, d, dh, num_heads, *, emit_attn=False,
-                   emit_jas=False):
+                   emit_jas=False, itemsize=2):
     """Estimated VMEM bytes of the combined backward at bb=1 (the
-    auto_block_b estimate specialized to one image)."""
+    auto_block_b estimate specialized to one image). ``itemsize`` is the
+    compute dtype's bytes/element — the coefficients are calibrated for
+    bf16 (2), so f32 shapes scale the whole estimate by 2x (slightly
+    conservative for the always-f32 accumulator parts, which is the safe
+    direction: round 5's f32 CLI distill run OOM'd Mosaic's scoped VMEM
+    because these estimates admitted bf16-sized tiles)."""
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     weights = (3 * d * d + d * d + 2 * d * dh) * 2
     per_img = 16 * n_pad * d + 6 * n_pad * dh + 12 * n_pad * n_pad
@@ -1154,11 +1285,11 @@ def _bwd_min_bytes(n, d, dh, num_heads, *, emit_attn=False,
         per_img += num_heads * n_pad * n_pad * 2
     if emit_jas:
         per_img += 24 * n_pad * n_pad
-    return 3 * weights + 2 * per_img + 2 * 3 * n_pad * d
+    return (3 * weights + 2 * per_img + 2 * 3 * n_pad * d) * (itemsize / 2)
 
 
 def bwd_vmem_plan(n, d, dh, num_heads, *, emit_attn=False,
-                  emit_jas=False):
+                  emit_jas=False, itemsize=2):
     """(scoped_vmem_kib, bwd_budget_bytes) for this vector-field shape:
     the standard 32MB limit when the backward fits its 24MB budget at
     some tile, stepping up to 64MB when only that makes even a one-image
@@ -1166,7 +1297,7 @@ def bwd_vmem_plan(n, d, dh, num_heads, *, emit_attn=False,
     dispatch (auto_block_b budget) derive from this one function, so
     they always agree."""
     need = _bwd_min_bytes(n, d, dh, num_heads, emit_attn=emit_attn,
-                          emit_jas=emit_jas)
+                          emit_jas=emit_jas, itemsize=itemsize)
     if need <= BWD_VMEM_BUDGET:
         return BWD_SCOPED_VMEM_KIB, BWD_VMEM_BUDGET
     # bigger shapes get the 64MB limit regardless of whether the
@@ -1177,7 +1308,7 @@ def bwd_vmem_plan(n, d, dh, num_heads, *, emit_attn=False,
 
 
 def bwd_compiler_options(n=None, d=None, dh=None, num_heads=None, *,
-                         emit_attn=False, emit_jas=True):
+                         emit_attn=False, emit_jas=True, itemsize=2):
     """Compiler options every jit that differentiates through the fused
     kernel must pass (see make_fast_*_train_step). With the vector-field
     shape, picks the scoped limit from bwd_vmem_plan; without, returns
@@ -1186,7 +1317,7 @@ def bwd_compiler_options(n=None, d=None, dh=None, num_heads=None, *,
     if d is None:
         return {"xla_tpu_scoped_vmem_limit_kib": BWD_SCOPED_VMEM_KIB}
     kib, _ = bwd_vmem_plan(n, d, dh, num_heads, emit_attn=emit_attn,
-                           emit_jas=emit_jas)
+                           emit_jas=emit_jas, itemsize=itemsize)
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
@@ -1226,7 +1357,8 @@ def fwd_compiler_options(n, d, dh, num_heads, *, extra_states=0):
 
 def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
                  emit_jas=False, requested=16, bwd=False,
-                 budget_override=None, extra_states=0):
+                 budget_override=None, extra_states=0, emit_resid=False,
+                 itemsize=2):
     """Largest batch tile (halving from ``requested``, dividing ``b``)
     whose estimated VMEM footprint fits. The estimate mirrors the
     kernel's live set: activations/qkv/hidden at 2B + f32 attention
@@ -1244,9 +1376,17 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
     if emit_jas:
         # f32 cur/first/iota temporaries of the in-kernel top-k passes
         per_img += 24 * n_pad * n_pad
+    if emit_resid:
+        # stash-variant output buffers: qkv [n_pad, 3d] + h1 [n_pad, dh]
+        # in the compute dtype
+        per_img += 2 * n_pad * (3 * d + dh)
     if bwd:
         per_img = 2 * per_img + 2 * 3 * n_pad * d    # qkv_bar scratch etc.
         weights *= 3     # bf16 working copies + f32 w_bar accumulators
+    # coefficients are calibrated for bf16 compute; f32 shapes double
+    # (conservative for the always-f32 parts — see _bwd_min_bytes)
+    per_img *= itemsize / 2
+    weights *= itemsize / 2
     # the jasmin-emitting paths run only under the train-step jits,
     # which raise the scoped-VMEM limit (bwd_compiler_options).
     # budget_override: training steps know their jit's raised limit and
@@ -1261,7 +1401,7 @@ def auto_block_b(b, n, d, dh, num_heads, *, emit_attn=False,
         requested = min(requested, _tile_class_cap(d, dh))
     elif bwd:
         budget = bwd_vmem_plan(n, d, dh, num_heads, emit_attn=emit_attn,
-                               emit_jas=emit_jas)[1]
+                               emit_jas=emit_jas, itemsize=itemsize)[1]
         # same compile-cost class cap as the override branch: the
         # estimate admits bb=4 backward tiles at d=768 that the AOT
         # compiler cannot build (only bb<=2 classes are proven)
@@ -1295,7 +1435,8 @@ def fused_vf_dropout_from_params(x, vf_params, seed, *, num_heads: int,
     bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
                       num_heads, requested=block_b,
-                      budget_override=vmem_budget)
+                      budget_override=vmem_budget,
+                      itemsize=jnp.dtype(x.dtype).itemsize)
     return fused_vf_dropout(*_vf_args(x, vf_params), seed, num_heads,
                             scaler, bb, n_real, *drops)
 
@@ -1307,7 +1448,8 @@ def fused_vf_attn_dropout_from_params(x, vf_params, seed, *,
     bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                       vf_params["mlp"]["fc1_kernel"].shape[-1],
                       num_heads, emit_attn=True, requested=block_b,
-                      budget_override=vmem_budget)
+                      budget_override=vmem_budget,
+                      itemsize=jnp.dtype(x.dtype).itemsize)
     return fused_vf_attn_dropout(*_vf_args(x, vf_params), seed, num_heads,
                                  scaler, bb, n_real, *drops)
 
@@ -1410,7 +1552,8 @@ def fused_vf_l2_jasmin_from_params(x, vf_params, *, num_heads: int,
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
                           num_heads, emit_jas=True, requested=block_b,
-                          budget_override=vmem_budget)
+                          budget_override=vmem_budget,
+                          itemsize=jnp.dtype(x.dtype).itemsize)
         return fused_vf_l2_jasmin(*args, num_heads, scaler, bb,
                                   n_real or x.shape[1], jas_k)
     dx, attn = _xla_reference(*args, num_heads=num_heads, scaler=scaler,
@@ -1438,7 +1581,8 @@ def fused_vf_l2_from_params(x, vf_params, *, num_heads: int, scaler: float,
         bb = auto_block_b(x.shape[0], x.shape[1], x.shape[2],
                           vf_params["mlp"]["fc1_kernel"].shape[-1],
                           num_heads, requested=block_b,
-                          budget_override=vmem_budget)
+                          budget_override=vmem_budget,
+                          itemsize=jnp.dtype(x.dtype).itemsize)
         return fused_vf_l2(*args, num_heads, scaler, bb, n_real)
     return _xla_reference(*args, num_heads=num_heads, scaler=scaler,
                           n_real=n_real, l2_attention=True)

@@ -122,7 +122,7 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
                    attn_drop: float = 0.0, proj_drop: float = 0.0,
                    mlp_drop: float = 0.0, has_seed: bool = False,
                    jas_kk: int = 0, l2_attention: bool = False,
-                   has_bias: bool = False):
+                   has_bias: bool = False, has_resid: bool = False):
     refs = list(refs)
     gattn_ref = refs.pop(0) if has_attn_bar else None
     gjas_ref = refs.pop(0) if jas_kk else None
@@ -130,6 +130,8 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     seed_ref = refs.pop(0) if has_seed else None
     qkvb_ref = refs.pop(0) if has_bias else None
     outb_ref = refs.pop(0) if has_bias else None
+    rqkv_ref = refs.pop(0) if has_resid else None
+    rh1_ref = refs.pop(0) if has_resid else None
     (xbar_ref, wqkvbar_ref, woutbar_ref, w1bar_ref, w2bar_ref,
      cnasbar_ref, cnabbar_ref, cnmsbar_ref, cnmbbar_ref) = refs[:9]
     refs = refs[9:]
@@ -168,7 +170,14 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
     cn_a = (cent * cna_s_ref[0] + cna_b_ref[0]).astype(dtype)
     cn_m = (cent * cnm_s_ref[0] + cnm_b_ref[0]).astype(dtype)
 
-    h1 = jnp.dot(cn_m, w1_ref[:], preferred_element_type=f32)
+    if has_resid:
+        # residual-stashing route: the forward stashed the pre-GELU
+        # hidden and the post-bias compute-dtype qkv — skip both
+        # recompute matmuls (qkv is exact; h1 matches to compute-dtype
+        # rounding, see fused_vf_stash)
+        h1 = rh1_ref[:].astype(f32)
+    else:
+        h1 = jnp.dot(cn_m, w1_ref[:], preferred_element_type=f32)
     h = _gelu(h1).astype(dtype)
     mask_h = None
     if mlp_drop > 0.0:
@@ -176,10 +185,13 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
         mask_h = _mask_2d(mlp_drop, seed, DROP_SITE_H, img0, block_b,
                           n_pad, h.shape[-1])
         h = (h.astype(f32) * mask_h).astype(dtype)
-    qkv32 = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32)
-    if has_bias:
-        qkv32 = qkv32 + qkvb_ref[0]
-    qkv = qkv32.astype(dtype).reshape(block_b, n_pad, 3 * d)
+    if has_resid:
+        qkv = rqkv_ref[:].reshape(block_b, n_pad, 3 * d)
+    else:
+        qkv32 = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32)
+        if has_bias:
+            qkv32 = qkv32 + qkvb_ref[0]
+        qkv = qkv32.astype(dtype).reshape(block_b, n_pad, 3 * d)
 
     key_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
                 < n_real).astype(f32)[None]
@@ -337,7 +349,8 @@ def _vf_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, cnm_s_ref, cnm_b_ref,
 
 def _mlp_bwd_kernel(x_ref, cnm_s_ref, cnm_b_ref, w1_ref, w2_ref, g_ref,
                     *refs, scaler: float, block_b: int, dh_chunk: int,
-                    mlp_drop: float = 0.0, has_seed: bool = False):
+                    mlp_drop: float = 0.0, has_seed: bool = False,
+                    has_resid: bool = False):
     """MLP-branch backward only (split-kernel path): recomputes cn_m and
     the hidden in column chunks of ``dh_chunk`` so the [rows, dh] f32
     intermediates never live whole — the chunk is the only hidden-width
@@ -346,6 +359,7 @@ def _mlp_bwd_kernel(x_ref, cnm_s_ref, cnm_b_ref, w1_ref, w2_ref, g_ref,
     x_bar (exact: CenterNorm's backward is linear, so the attention
     kernel's contribution adds outside)."""
     refs = list(refs)
+    rh1_ref = refs.pop(0) if has_resid else None
     seed_ref = refs.pop(0) if has_seed else None
     xbar_ref, w1bar_ref, w2bar_ref, cnmsbar_ref, cnmbbar_ref = refs
 
@@ -382,7 +396,13 @@ def _mlp_bwd_kernel(x_ref, cnm_s_ref, cnm_b_ref, w1_ref, w2_ref, g_ref,
     m_bar = jnp.zeros((rows, d), f32)
     for c0 in range(0, dh, dh_chunk):
         cols = slice(c0, c0 + dh_chunk)
-        h1_c = jnp.dot(cn_m, w1_ref[:, cols], preferred_element_type=f32)
+        if has_resid:
+            # stashed pre-GELU hidden (see fused_vf_stash): read the
+            # chunk instead of recomputing the fc1 matmul columns
+            h1_c = rh1_ref[:, cols].astype(f32)
+        else:
+            h1_c = jnp.dot(cn_m, w1_ref[:, cols],
+                           preferred_element_type=f32)
         h_c = _gelu(h1_c)
         if mask_h is not None:
             h_c = h_c * mask_h[:, cols]
@@ -414,7 +434,7 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
                      scaler: float, n_real: int, block_b: int,
                      has_attn_bar: bool, attn_drop: float = 0.0,
                      proj_drop: float = 0.0, has_seed: bool = False,
-                     jas_kk: int = 0):
+                     jas_kk: int = 0, has_resid: bool = False):
     """Attention-branch backward (split-kernel path); same math as the
     attention half of _vf_bwd_kernel, incl. the optional JaSMin
     order-statistics scatter (jas_kk > 0 — this is what lets the
@@ -429,6 +449,7 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
     gattn_ref = refs.pop(0) if has_attn_bar else None
     gjas_ref = refs.pop(0) if jas_kk else None
     stats_ref = refs.pop(0) if jas_kk else None
+    rqkv_ref = refs.pop(0) if has_resid else None
     seed_ref = refs.pop(0) if has_seed else None
     (xbar_ref, wqkvbar_ref, woutbar_ref, cnasbar_ref, cnabbar_ref) = refs[:5]
     ctx_scratch, qkvbar_scratch = refs[5:]
@@ -453,8 +474,13 @@ def _attn_bwd_kernel(x_ref, cna_s_ref, cna_b_ref, wqkv_ref, wout_ref,
     xf = x_ref[:].astype(f32)
     cent = (xf - jnp.mean(xf, axis=-1, keepdims=True)) * (d / (d - 1.0))
     cn_a = (cent * cna_s_ref[0] + cna_b_ref[0]).astype(dtype)
-    qkv = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32
-                  ).astype(dtype).reshape(block_b, n_pad, 3 * d)
+    if has_resid:
+        # stashed compute-dtype qkv (exact — see fused_vf_stash); cn_a
+        # is still recomputed above for the Wqkv weight-grad
+        qkv = rqkv_ref[:].reshape(block_b, n_pad, 3 * d)
+    else:
+        qkv = jnp.dot(cn_a, wqkv_ref[:], preferred_element_type=f32
+                      ).astype(dtype).reshape(block_b, n_pad, 3 * d)
 
     key_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
                 < n_real).astype(f32)[None]
@@ -585,7 +611,8 @@ def _xla_bwd_fallback(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
 
 def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
                  has_drop: bool, requested: int = 16,
-                 emit_jas: bool = False):
+                 emit_jas: bool = False, has_resid: bool = False,
+                 itemsize: int = 2):
     """(mlp_block_b, dh_chunk, attn_block_b) for the split backward, or
     None when even 1-image tiles don't fit. Estimates mirror each
     kernel's live set (see kernel docstrings). Each kernel gets the full
@@ -597,7 +624,10 @@ def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
                                                  _tile_class_cap)
     VMEM_BUDGET = bwd_vmem_plan(n, d, dh, num_heads,
                                 emit_attn=has_attn_bar,
-                                emit_jas=emit_jas)[1]
+                                emit_jas=emit_jas, itemsize=itemsize)[1]
+    # estimate coefficients are calibrated for bf16 compute; f32 shapes
+    # scale 2x (see _bwd_min_bytes — the round-5 f32 CLI distill OOM)
+    scale = itemsize / 2
     n_pad = -(-n // TOKEN_PAD) * TOKEN_PAD
     # each split kernel is a d-class program: the attention kernel never
     # touches dh, and the MLP kernel's hidden is chunked — the dh>=2048
@@ -609,12 +639,15 @@ def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
     w_mlp = 12 * d * dh
     base = 24 * n_pad * d + (4 * n_pad * dh + 4 * n_pad * d
                              if has_drop else 0)
+    if has_resid:
+        base += 2 * n_pad * dh           # stashed h1 input (compute dtype)
     chunks = [c for c in (dh, 1024, 768, 512, 384, 256, 128)
               if c <= dh and dh % c == 0]
     mlp_bb = dh_chunk = 0
     for bb in _halvings(b, requested):
         for c in chunks:
-            if w_mlp + bb * (base + 12 * n_pad * c) <= VMEM_BUDGET:
+            if (w_mlp + bb * (base + 12 * n_pad * c)) * scale \
+                    <= VMEM_BUDGET:
                 mlp_bb, dh_chunk = bb, c
                 break
         if mlp_bb:
@@ -631,9 +664,11 @@ def _split_tiles(b, n, d, dh, num_heads, *, has_attn_bar: bool,
         per += 24 * n_pad * n_pad
     if has_drop:
         per += 4 * n_pad * n_pad
+    if has_resid:
+        per += 6 * n_pad * d             # stashed qkv input (compute dtype)
     attn_bb = 0
     for bb in _halvings(b, requested):
-        if w_attn + bb * per <= VMEM_BUDGET:
+        if (w_attn + bb * per) * scale <= VMEM_BUDGET:
             attn_bb = bb
             break
     if not (mlp_bb and attn_bb):
@@ -655,7 +690,8 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
                          scaler: float, n_real: int, seed=None,
                          attn_drop: float = 0.0, proj_drop: float = 0.0,
                          mlp_drop: float = 0.0, g_jas=None,
-                         jas_stats=None, jas_k: int = 0):
+                         jas_stats=None, jas_k: int = 0,
+                         resid_qkv=None, resid_h1=None):
     """Split-kernel backward: one MLP-branch kernel + one attention-branch
     kernel, each at its own (larger) batch tile; x_bar contributions add
     exactly (CenterNorm backward is linear in the branch cotangents).
@@ -695,17 +731,24 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
                                          memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)
 
+    has_resid = resid_qkv is not None
+
     # ---- MLP branch ----
     rows_m = mlp_bb * n_pad
     mlp_kernel = functools.partial(
         _mlp_bwd_kernel, scaler=scaler, block_b=mlp_bb,
         dh_chunk=dh_chunk,
-        mlp_drop=mlp_drop if has_seed else 0.0, has_seed=has_seed)
+        mlp_drop=mlp_drop if has_seed else 0.0, has_seed=has_seed,
+        has_resid=has_resid)
     in_specs = [row_spec(rows_m), vec, vec,
                 pl.BlockSpec((d, dh), mat, memory_space=pltpu.VMEM),
                 pl.BlockSpec((dh, d), mat, memory_space=pltpu.VMEM),
                 row_spec(rows_m)]
     operands = [x2d, cnm_s[None], cnm_b[None], w1_c, w2_c, g2d]
+    if has_resid:
+        in_specs.append(pl.BlockSpec((rows_m, dh), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(resid_h1)
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(seed_op)
@@ -734,7 +777,8 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
         has_attn_bar=g_attn is not None,
         attn_drop=attn_drop if has_seed else 0.0,
         proj_drop=proj_drop if has_seed else 0.0, has_seed=has_seed,
-        jas_kk=(max(jas_k, 1) + 1) if has_jas else 0)
+        jas_kk=(max(jas_k, 1) + 1) if has_jas else 0,
+        has_resid=has_resid)
     in_specs = [row_spec(rows_a), vec, vec,
                 pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
                 pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
@@ -754,6 +798,10 @@ def _pallas_vf_bwd_split(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1,
         in_specs += [jas_spec, jas_spec]
         operands += [g_jas.astype(jnp.float32),
                      jas_stats.astype(jnp.float32)]
+    if has_resid:
+        in_specs.append(pl.BlockSpec((rows_a, 3 * d), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(resid_qkv)
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(seed_op)
@@ -789,7 +837,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                   attn_drop: float = 0.0, proj_drop: float = 0.0,
                   mlp_drop: float = 0.0, g_jas=None, jas_k: int = 0,
                   jas_stats=None, qkv_bias=None, out_bias=None,
-                  l2_attention: bool = False):
+                  l2_attention: bool = False,
+                  resid_qkv=None, resid_h1=None):
     """Backward pass of the fused evaluation.
 
     Args mirror the forward; ``g_dx`` is the dx cotangent [B, N, D] and
@@ -829,12 +878,19 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
     has_bias = qkv_bias is not None
     assert not (l2_attention and has_drop), \
         "native L2 backward is deterministic-only (no L2 dropout kernel)"
+    has_resid = resid_qkv is not None
+    assert has_resid == (resid_h1 is not None), \
+        "stash residuals come as a (qkv, h1) pair"
+    assert not (has_resid and (has_drop or has_bias or l2_attention)), \
+        "residual stashing is softmax/deterministic/bias-free only"
     # the backward holds ~2-3x the forward's live intermediates
     # (recompute + cotangents); size the tile from the VMEM estimate
+    itemsize = jnp.dtype(x.dtype).itemsize
     combined_bb = auto_block_b(b, n, d, dh, num_heads,
                                emit_attn=g_attn is not None,
                                emit_jas=has_jas,
-                               requested=block_b, bwd=True)
+                               requested=block_b, bwd=True,
+                               itemsize=itemsize)
     # Split dispatch (per-branch kernels chained through x_bar):
     #  * always when the combined kernel can't fit one image;
     #  * ALSO at big-d shapes where the combined kernel is pinned to
@@ -850,7 +906,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
             tiles = _split_tiles(b, n, d, dh, num_heads,
                                  has_attn_bar=g_attn is not None,
                                  has_drop=has_drop, requested=block_b,
-                                 emit_jas=has_jas)
+                                 emit_jas=has_jas, has_resid=has_resid,
+                                 itemsize=itemsize)
         if tiles is not None and (combined_bb == 0
                                   or min(tiles[0], tiles[2]) >= 2):
             return _pallas_vf_bwd_split(
@@ -858,7 +915,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                 g_attn, tiles, num_heads=num_heads, scaler=scaler,
                 n_real=n_real, seed=seed, attn_drop=attn_drop,
                 proj_drop=proj_drop, mlp_drop=mlp_drop,
-                g_jas=g_jas, jas_stats=jas_stats, jas_k=jas_k)
+                g_jas=g_jas, jas_stats=jas_stats, jas_k=jas_k,
+                resid_qkv=resid_qkv, resid_h1=resid_h1)
     block_b = combined_bb
     if block_b == 0:
         # Big-d shapes (ViT-Base: the f32 weight-grad accumulators alone
@@ -908,7 +966,8 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
         mlp_drop=mlp_drop if has_seed else 0.0,
         has_seed=has_seed,
         jas_kk=(max(jas_k, 1) + 1) if has_jas else 0,
-        l2_attention=l2_attention, has_bias=has_bias)
+        l2_attention=l2_attention, has_bias=has_bias,
+        has_resid=has_resid)
 
     in_specs = [
         pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -945,6 +1004,12 @@ def pallas_vf_bwd(x, cna_s, cna_b, cnm_s, cnm_b, wqkv, wout, w1, w2,
                      pl.BlockSpec((1, d), mat, memory_space=pltpu.VMEM)]
         operands += [qkv_bias[None].astype(jnp.float32),
                      out_bias[None].astype(jnp.float32)]
+    if has_resid:
+        in_specs += [pl.BlockSpec((rows, 3 * d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((rows, dh), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [resid_qkv, resid_h1]
 
     f32 = jnp.float32
     out_specs = (

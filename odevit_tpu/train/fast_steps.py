@@ -75,6 +75,13 @@ def _xla_dropout_eval(y, vf_params, seed, *, num_heads, scaler, n_real,
 HBM_RESIDUAL_BUDGET = 8 * 1024 ** 3   # half of a v5e's 16GB
 
 
+def _model_itemsize(model) -> int:
+    """Bytes/element of the model's compute dtype (flax ``dtype=None``
+    means f32 inputs stay f32 — the CLI training path)."""
+    import jax.numpy as _jnp
+    return _jnp.dtype(model.dtype or _jnp.float32).itemsize
+
+
 def _fused_jit_kwargs(model=None):
     """Extra jax.jit kwargs for steps that differentiate through the
     fused kernel: on TPU, raise the scoped-VMEM limit so the backward
@@ -98,7 +105,8 @@ def _fused_jit_kwargs(model=None):
     # configs could pick the 56MB budget tier under a 32MB limit
     return {"compiler_options": bwd_compiler_options(
         n, model.embed_dim, int(model.embed_dim * model.mlp_ratio),
-        model.num_heads, emit_attn=True, emit_jas=True)}
+        model.num_heads, emit_attn=True, emit_jas=True,
+        itemsize=_model_itemsize(model))}
 
 
 def _fwd_budget(model, n: int):
@@ -109,7 +117,8 @@ def _fwd_budget(model, n: int):
     return bwd_vmem_plan(n, model.embed_dim,
                          int(model.embed_dim * model.mlp_ratio),
                          model.num_heads, emit_attn=True,
-                         emit_jas=True)[1]
+                         emit_jas=True,
+                         itemsize=_model_itemsize(model))[1]
 
 
 def _auto_remat(model, batch: int, n: int, remat,
@@ -147,7 +156,7 @@ def _auto_remat(model, batch: int, n: int, remat,
 
 def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                       use_pallas: bool = True, block_b: int = 16,
-                      rng=None, remat=None):
+                      rng=None, remat=None, stash: bool = False):
     """CE + JaSMin forward through the fused kernel; returns (loss, aux).
 
     With nonzero model drop rates and an ``rng``, runs the in-kernel
@@ -156,6 +165,11 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     fixed rng but is NOT bit-equal to the flax path's nn.Dropout stream
     (different generators — documented semantics). Without ``rng`` the
     deterministic kernels run and drop rates must be zero.
+
+    ``stash=True`` (deterministic softmax Pallas path only) selects the
+    residual-stashing kernels: forwards write qkv/h1 to HBM and the
+    backward skips its recompute matmuls (VERDICT r4 item 4). Adds
+    ~(6d+2dh)*N bytes/eval of vjp residuals — callers own the HBM math.
     """
     assert not model.time_conditioning
     l2 = bool(model.l2_attention)
@@ -181,6 +195,8 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
     # route — it has no map-emitting training wrapper)
     stats_ok = n >= max(jasmin_k, 1) + 1
     assert stats_ok or not l2, "L2 fast path needs n > jasmin_k + 1"
+    # residual stashing: deterministic softmax Pallas evaluations only
+    use_stash = bool(stash) and use_pallas and not l2 and not has_drop
 
     def f(t, y):
         if l2:
@@ -197,7 +213,7 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
                 y, params["vf"], num_heads=model.num_heads,
                 scaler=scaler, jas_k=jasmin_k, block_b=block_b,
                 use_pallas=use_pallas, n_real=n,
-                vmem_budget=vmem_budget)
+                vmem_budget=vmem_budget, stash=use_stash)
             return dx, jasmin_from_stats(st, jasmin_k)
         dx, attn = fused_vf_attn_from_params(
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
@@ -225,7 +241,7 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
             dx = fused_vf_from_params(
                 y, params["vf"], num_heads=model.num_heads,
                 scaler=scaler, block_b=block_b, use_pallas=use_pallas,
-                n_real=n, vmem_budget=vmem_budget)
+                n_real=n, vmem_budget=vmem_budget, stash=use_stash)
         return dx, jnp.zeros(())
 
     # --- dropout variants: explicit per-stage seeds -------------------
@@ -245,7 +261,8 @@ def fast_free_forward(model, params, pixels, labels, *, jasmin_k: int,
         pltpu_drop = auto_block_b(
             pixels.shape[0], n, model.embed_dim,
             int(model.embed_dim * model.mlp_ratio), model.num_heads,
-            emit_attn=True, bwd=True) > 0
+            emit_attn=True, bwd=True,
+            itemsize=_model_itemsize(model)) > 0
 
     def vf_drop(y, eval_seed, with_jasmin):
         if not pltpu_drop:
@@ -365,7 +382,8 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
                          use_distillation: bool = True,
                          use_kl_loss: bool = False, supervise: bool = False,
                          use_pallas: bool = True, block_b: int = 16,
-                         rng=None, remat=None, sum_loss_scale: float = 1.0):
+                         rng=None, remat=None, sum_loss_scale: float = 1.0,
+                         stash: bool = False):
     """Distillation-student forward through the fused kernel.
 
     The TS hot loop (loss_trainer.py:305-371) at TS-Base shapes: the
@@ -417,7 +435,8 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
         pltpu_drop = auto_block_b(
             pixels.shape[0], n, model.embed_dim,
             int(model.embed_dim * model.mlp_ratio), model.num_heads,
-            emit_attn=True, bwd=True) > 0
+            emit_attn=True, bwd=True,
+            itemsize=_model_itemsize(model)) > 0
 
     # static plan: control-point boundaries + jasmin tail
     cps = proportional_control_points(T, temperature)       # state indices
@@ -443,7 +462,7 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
         return fused_vf_from_params(
             y, params["vf"], num_heads=model.num_heads, scaler=scaler,
             block_b=block_b, use_pallas=use_pallas, n_real=n,
-            vmem_budget=vmem_budget)
+            vmem_budget=vmem_budget, stash=use_stash)
 
     def eval_attn(y, seed):
         if has_drop and not pltpu_drop:
@@ -465,6 +484,8 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
     # computes maps anyway)
     stats_ok = (n >= max(jasmin_k, 1) + 1
                 and not (has_drop and not pltpu_drop))
+    # residual stashing: deterministic softmax Pallas evaluations only
+    use_stash = bool(stash) and use_pallas and not has_drop
 
     def eval_jas(y, seed):
         if not stats_ok:
@@ -475,7 +496,7 @@ def fast_distill_forward(model, params, pixels, labels, t_states,
             jas_k=jasmin_k, block_b=block_b, use_pallas=use_pallas,
             n_real=n, seed=seed if has_drop else None,
             drops=drops if has_drop else (0.0, 0.0, 0.0),
-            vmem_budget=vmem_budget)
+            vmem_budget=vmem_budget, stash=use_stash)
         return dx, jasmin_from_stats(st, jasmin_k)
 
     use_remat = _auto_remat(model, pixels.shape[0], n, remat,
@@ -577,7 +598,8 @@ def make_fast_distill_train_step(
         lr_schedule: Optional[Callable] = None,
         preprocess_fn: Optional[Callable] = None, use_pallas: bool = True,
         block_b: int = 16, donate: bool = True, remat=None, mesh=None,
-        data_axis: str = "data", teacher_cache: bool = False):
+        data_axis: str = "data", teacher_cache: bool = False,
+        stash: bool = False):
     """Fused-kernel drop-in for train.steps.make_distill_train_step (the
     TS-Base hot loop). Teacher forward stays pure flax/XLA (a standard
     ViT-B — already MXU-shaped); the student fwd+bwd runs through the
@@ -627,7 +649,8 @@ def make_fast_distill_train_step(
                 use_pallas=use_pallas, block_b=block_b,
                 rng=rng if has_drop else None, remat=remat,
                 sum_loss_scale=(float(mesh.shape[data_axis])
-                                if mesh is not None else 1.0))
+                                if mesh is not None else 1.0),
+                stash=stash)
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -764,7 +787,8 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                               use_pallas: bool = True,
                               block_b: int = 16, donate: bool = True,
                               remat=None, mesh=None,
-                              data_axis: str = "data"):
+                              data_axis: str = "data",
+                              stash: bool = False):
     """Drop-in fused alternative to make_free_train_step.
 
     With ``mesh``, the step runs data-parallel via shard_map over
@@ -794,7 +818,7 @@ def make_fast_free_train_step(model, tx, *, jasmin_k: int = 10,
                                      use_pallas=use_pallas,
                                      block_b=block_b,
                                      rng=rng if has_drop else None,
-                                     remat=remat)
+                                     remat=remat, stash=stash)
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

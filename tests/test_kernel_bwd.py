@@ -303,3 +303,130 @@ def test_macaron_bwd_matches_xla_vjp():
         rel = (np.linalg.norm(np.ravel(np.asarray(a - b, np.float32)))
                / denom)
         assert rel < 5e-5, (i, rel)
+
+
+def test_stash_bwd_matches_plain():
+    """Residual-stashing variant (fused_vf_stash): the backward reads the
+    forward's stashed qkv/h1 instead of recomputing — cotangents must
+    match the recomputing kernel (exactly at f32, where the stash incurs
+    no rounding)."""
+    from odevit_tpu.kernels.vector_field import fused_vf, fused_vf_stash
+
+    d, heads = 64, 2
+    params = make_params(d, heads)
+    ws = flat_args(params, d)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 17, d)), jnp.float32)
+
+    def loss(fn):
+        def inner(x, *ws):
+            out = fn(x, *ws, heads, 3.0, 4, 17)
+            return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+        return inner
+
+    gs = jax.grad(loss(fused_vf_stash), argnums=tuple(range(9)))(x, *ws)
+    gp = jax.grad(loss(fused_vf), argnums=tuple(range(9)))(x, *ws)
+    names = ["x", "cna_s", "cna_b", "cnm_s", "cnm_b", "wqkv", "wout",
+             "w1", "w2"]
+    for name, a, b in zip(names, gs, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_stash_jasmin_bwd_matches_plain():
+    """fused_vf_jasmin_stash: gradient through BOTH outputs (dx and the
+    JaSMin order statistics) matches the recomputing jasmin kernel."""
+    from odevit_tpu.kernels.vector_field import (fused_vf_jasmin,
+                                                 fused_vf_jasmin_stash)
+
+    d, heads, k = 64, 2, 2
+    params = make_params(d, heads)
+    ws = flat_args(params, d)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 17, d)), jnp.float32)
+
+    def loss(fn):
+        def inner(x, *ws):
+            dx, st = fn(x, *ws, heads, 2.0, 4, 17, k)
+            return (jnp.sum(dx.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.log(st.astype(jnp.float32) + 1e-3)))
+        return inner
+
+    gs = jax.grad(loss(fused_vf_jasmin_stash),
+                  argnums=tuple(range(9)))(x, *ws)
+    gp = jax.grad(loss(fused_vf_jasmin), argnums=tuple(range(9)))(x, *ws)
+    for i, (a, b) in enumerate(zip(gs, gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=str(i))
+
+
+def test_stash_split_bwd_matches_xla_vjp():
+    """The SPLIT backward with stashed residuals (the TS-Base training
+    route the stash targets) produces the same nine cotangents as the
+    XLA vjp."""
+    from odevit_tpu.kernels.vector_field import (_pallas_forward,
+                                                 _xla_reference)
+    from odevit_tpu.kernels.vector_field_bwd import _pallas_vf_bwd_split
+
+    d, heads, n, b = 64, 2, 17, 16
+    params = make_params(d, heads)
+    ws = flat_args(params, d)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_dx = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+
+    _, (rqkv, rh1) = _pallas_forward(x, *ws, num_heads=heads, scaler=3.0,
+                                     block_b=4, n_real=n, emit_resid=True)
+    bars = _pallas_vf_bwd_split(x, *ws, g_dx, None, (8, 128, 8),
+                                num_heads=heads, scaler=3.0, n_real=n,
+                                resid_qkv=rqkv, resid_h1=rh1)
+
+    def f(x_, *ws_):
+        return _xla_reference(x_, *ws_, num_heads=heads, scaler=3.0,
+                              n_real=n)
+
+    _, vjp = jax.vjp(f, x, *ws)
+    ref = vjp(g_dx)
+    names = ["x", "cna_s", "cna_b", "cnm_s", "cnm_b", "wqkv", "wout",
+             "w1", "w2"]
+    for name, a, r in zip(names, bars, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4, rtol=5e-3, err_msg=name)
+
+
+def test_stash_fast_distill_forward_matches_plain():
+    """End-to-end: fast_distill_forward(stash=True) produces the same
+    loss and gradients as the recomputing path at f32."""
+    import flax.linen as fnn
+    from odevit_tpu.models.vit_ode import ViTODE
+    from odevit_tpu.train.fast_steps import fast_distill_forward
+
+    model = ViTODE(img_size=16, patch_size=4, embed_dim=64, num_heads=2,
+                   mlp_ratio=2.0, num_classes=7, emulate_depth=12.0,
+                   time_interval=1.0, num_eval_steps=7, solver="euler",
+                   register_tokens=1, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    pixels = jnp.asarray(rng.standard_normal((4, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 7, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), pixels)["params"]
+    nt = (16 // 4) ** 2 + 1
+    t_states = jnp.asarray(rng.standard_normal((12, 4, nt, 64)),
+                           jnp.float32)
+    t_attn = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((4, 2, nt, nt)), jnp.float32), axis=-1)
+
+    def run(stash):
+        def loss_fn(p):
+            return fast_distill_forward(
+                model, p, pixels, labels, t_states, t_attn,
+                jasmin_k=2, temperature=3.0, lambda_param=0.5,
+                stash=stash)[0]
+        return jax.value_and_grad(loss_fn)(params)
+
+    (l_p, g_p), (l_s, g_s) = run(False), run(True)
+    np.testing.assert_allclose(float(l_s), float(l_p), rtol=1e-6)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    flat_s = jax.tree_util.tree_leaves(g_s)
+    for a, b in zip(flat_s, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
