@@ -127,6 +127,15 @@ def build_loaders(cfg, train_data, val_data, sharding=None,
 def build_student(cfg_inputs, model_type: str = "vit"):
     inputs = dict(cfg_inputs)
     inputs["emulate_depth"] = float(inputs.get("emulate_depth", 12.0))
+    # additive key (docs/MIGRATING.md): `inputs.dtype: bfloat16|float32`
+    # selects the compute dtype. The reference trains f32 (the default
+    # here too); bf16 is the idiomatic TPU training dtype — params stay
+    # f32, activations/matmuls run bf16, and the kernel dispatch picks
+    # the larger bf16 tiles (see auto_block_b's itemsize scaling).
+    if isinstance(inputs.get("dtype"), str):
+        import jax.numpy as jnp
+        inputs["dtype"] = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                           "float32": None, "f32": None}[inputs["dtype"]]
     if model_type == "macaron":
         return ViTMacaron(**inputs)
     return ViTODE(**inputs)

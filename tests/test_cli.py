@@ -96,3 +96,17 @@ def test_config_override_surface():
     assert cfg.modeling.student.inputs.num_eval_steps == 36
     assert cfg.data.collator.train.batch_size == 64
     assert cfg.finetunne.recover_training is False
+
+
+def test_build_student_dtype_coercion():
+    """Additive `inputs.dtype` key: string names map to jnp dtypes
+    (bfloat16) or None (float32 = flax inherit-input default)."""
+    import jax.numpy as jnp
+    from odevit_tpu.cli.common import build_student
+
+    base = dict(img_size=32, patch_size=4, embed_dim=64, num_heads=2,
+                num_classes=10)
+    assert build_student(dict(base, dtype="bfloat16")).dtype == jnp.bfloat16
+    assert build_student(dict(base, dtype="bf16")).dtype == jnp.bfloat16
+    assert build_student(dict(base, dtype="float32")).dtype is None
+    assert build_student(base).dtype is None
