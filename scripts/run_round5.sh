@@ -8,10 +8,13 @@
 #   2. residual-stashing backward A/B at TS-Base B=64 (item 4)
 #   3. teacher retrain (checkpoints/ lost with the fresh clone)
 #   4. rewarm_on distill tail, COMPRESSED schedule (item 2b):
-#      epochs 80->40, unfreeze 40->24, rewarm 8 — same recipe,
-#      shortened to fit the round clock; the cliff control is r3's
-#      evidence_distill_real (241ep, final 0.813 vs best 0.998)
-#   5. package curves into evidence/
+#      epochs 80->28, unfreeze 40->14, rewarm 8->6 — same recipe,
+#      shortened to fit the round clock (~61 s/epoch on the tunnel);
+#      the cliff control is r3's evidence_distill_real (241ep, no
+#      rewarm, final 0.813 vs best 0.998). metrics.jsonl streams, so
+#      a clock-truncated run still shows the post-unfreeze tail.
+#   5. serve224 tile probe (item 5) if the clock allows
+#   6. package curves into evidence/
 #
 # Re-runnable: arms skip when their .done marker exists.
 set -u
@@ -62,13 +65,16 @@ else
 fi
 
 # 4. the headline arm: compressed distill tail, head-LR re-warmup ON.
-#    metrics.jsonl streams, so a clock-truncated run still shows the
-#    post-unfreeze tail once epoch > 24.
 run rewarm_on main_classification_ode_distillation.py \
   -c evidence_distill_rewarm -cp "$CP" \
-  -o setup.dict.epochs=40 -o setup.dict.curriculum_epoch=24 \
+  -o setup.dict.epochs=28 -o setup.dict.curriculum_epoch=14 \
+  -o setup.dict.head_rewarm_epochs=6 \
   -o setup.dict.cache_teacher=true -o checkpoint_dir=checkpoints \
   -o finetunne.recover_training=true
 
 python scripts/package_evidence.py evidence_rewarm_on || true
+
+# 5. serve224 tile probe (VERDICT item 5) — last, clock permitting
+run serve224_tile_probe -m benchmarks.serve224_tile_probe
+
 echo "ROUND5 QUEUE COMPLETE"
